@@ -1,0 +1,31 @@
+"""image_restoration_and_enhancement_tpu — a TPU-native image restoration framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+``qmoututu11/Image_Restoration_and_Enhancement`` ("RestoraGen"): Stable-Diffusion
+fine-tuning and inference for four restoration tasks — denoise, super-resolution
+x4, colorization, inpainting — plus the surrounding data, metrics, training and
+serving machinery.
+
+Unlike the reference (single-GPU PyTorch scripts over `diffusers`), every
+compute component here is first-party and TPU-first:
+
+- ``models``  — Flax UNet2DCondition (4ch & 9ch), AutoencoderKL, CLIP text
+  encoder, BPE tokenizer (NHWC layouts, bf16-friendly).
+- ``core``    — noise schedulers (DDPM/DDIM/PLMS) as pure jittable functions,
+  jitted sampling loops, checkpoint I/O.
+- ``ops``     — Pallas TPU kernels (flash attention) + jnp image ops.
+- ``parallel``— `jax.sharding` Mesh utilities, pjit train/infer sharding.
+- ``data``    — degradation synthesis, pair datasets, COCO tooling, native
+  C++ host preprocessing.
+- ``metrics`` — PSNR/SSIM/ΔE in jnp (vmappable), LPIPS/FID model ports.
+- ``tasks``   — the 4-task registry (prompts, conditioning, losses).
+- ``train``   — generic data-parallel fine-tune loop (optax, bf16, grad accum).
+- ``infer``   — `RestorationPipeline` equivalent with fallback chains.
+
+Import as ``import image_restoration_and_enhancement_tpu as iret``.
+"""
+
+__version__ = "0.1.0"
+
+# Short alias used throughout docs/tests.
+PACKAGE_ALIAS = "iret"

@@ -1,0 +1,150 @@
+"""Model / scheduler / training configuration dataclasses.
+
+The SD-v1.5 presets mirror the architecture the reference fine-tunes (configs
+committed at ``outputs/models/{task}/best/*/config.json`` in the reference
+repo): UNet2DConditionModel with block_out (320,640,1280,1280) / 8 attention
+heads / cross_attention_dim 768, AutoencoderKL with block_out
+(128,256,512,512) / scaling_factor 0.18215, CLIP ViT-L/14 text encoder
+(hidden 768, 12 layers, 77 positions, vocab 49408).
+
+Tiny variants exist for fast CPU tests.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """Config for the conditional UNet (reference: denoising/best/unet/config.json)."""
+
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    # Diffusers SD1.5 quirk: `attention_head_dim: 8` actually means 8 *heads*
+    # per attention layer (head_dim = channels // 8 = 40/80/160).
+    num_attention_heads: int = 8
+    cross_attention_dim: int = 768
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-5
+    transformer_layers_per_block: int = 1
+    # Which resolution levels carry cross-attention transformers. SD1.5:
+    # down = (CrossAttn, CrossAttn, CrossAttn, Plain), up mirrored.
+    attn_levels: Tuple[bool, ...] = (True, True, True, False)
+    freq_shift: int = 0
+    flip_sin_to_cos: bool = True
+    sample_size: int = 64
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * 4
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    """Config for AutoencoderKL (reference: denoising/best/vae/config.json)."""
+
+    in_channels: int = 3
+    out_channels: int = 3
+    latent_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+    scaling_factor: float = 0.18215
+    mid_block_add_attention: bool = True
+    sample_size: int = 512
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    """Config for the CLIP text encoder (reference: best/text_encoder/config.json)."""
+
+    vocab_size: int = 49408
+    hidden_size: int = 768
+    intermediate_size: int = 3072
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    max_position_embeddings: int = 77
+    layer_norm_eps: float = 1e-5
+    hidden_act: str = "quick_gelu"
+    bos_token_id: int = 49406
+    eos_token_id: int = 49407
+    pad_token_id: int = 49407
+
+
+@dataclasses.dataclass(frozen=True)
+class SchedulerConfig:
+    """Noise schedule config shared by DDPM/DDIM/PLMS.
+
+    Values mirror the reference's committed scheduler configs
+    (scaled_linear betas 0.00085 -> 0.012, 1000 train steps, epsilon
+    prediction, steps_offset 1, "leading" spacing, set_alpha_to_one False).
+    """
+
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = "scaled_linear"  # or "linear"
+    prediction_type: str = "epsilon"
+    steps_offset: int = 1
+    timestep_spacing: str = "leading"
+    set_alpha_to_one: bool = False
+
+
+# ---------------------------------------------------------------------------
+# Presets
+# ---------------------------------------------------------------------------
+
+SD15_UNET = UNetConfig()
+SD15_INPAINT_UNET = dataclasses.replace(SD15_UNET, in_channels=9)
+SD15_VAE = VAEConfig()
+CLIP_VIT_L_TEXT = CLIPTextConfig()
+SD15_SCHEDULER = SchedulerConfig()
+
+# Tiny configs for CPU tests: same topology, minimal widths.
+TINY_UNET = UNetConfig(
+    block_out_channels=(8, 16, 16, 16),
+    layers_per_block=1,
+    num_attention_heads=2,
+    cross_attention_dim=16,
+    norm_num_groups=4,
+    sample_size=8,
+)
+TINY_INPAINT_UNET = dataclasses.replace(TINY_UNET, in_channels=9)
+TINY_VAE = VAEConfig(
+    block_out_channels=(8, 8, 16, 16),
+    layers_per_block=1,
+    norm_num_groups=4,
+    sample_size=32,
+)
+TINY_CLIP_TEXT = CLIPTextConfig(
+    vocab_size=128,
+    hidden_size=16,
+    intermediate_size=32,
+    num_hidden_layers=2,
+    num_attention_heads=2,
+    max_position_embeddings=77,
+    bos_token_id=0,
+    eos_token_id=2,
+    pad_token_id=1,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SDModelConfig:
+    """Bundle of the full Stable-Diffusion model stack for one task."""
+
+    unet: UNetConfig = SD15_UNET
+    vae: VAEConfig = SD15_VAE
+    text_encoder: CLIPTextConfig = CLIP_VIT_L_TEXT
+    scheduler: SchedulerConfig = SD15_SCHEDULER
+
+
+SD15 = SDModelConfig()
+SD15_INPAINT = SDModelConfig(unet=SD15_INPAINT_UNET)
+TINY_SD = SDModelConfig(unet=TINY_UNET, vae=TINY_VAE, text_encoder=TINY_CLIP_TEXT)
+TINY_SD_INPAINT = SDModelConfig(
+    unet=TINY_INPAINT_UNET, vae=TINY_VAE, text_encoder=TINY_CLIP_TEXT
+)

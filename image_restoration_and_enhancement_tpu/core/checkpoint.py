@@ -1,0 +1,312 @@
+"""Checkpoint I/O: diffusers-style layout, safetensors, torch-weight import.
+
+Mirrors the reference's on-disk contract (SURVEY §5.4) the inference layer
+auto-discovers:
+
+  outputs/models/{task}/best/        — best-by-val-PSNR full pipeline
+  outputs/models/{task}/final/       — end-of-training pipeline
+  outputs/models/{task}/checkpoint-{step}/ — periodic UNet-only checkpoints
+
+(reference: train_denoising.py:724-786, :837-911; discovery
+src/inference.py:93-137). Formats:
+
+- Model params: flattened-safetensors per component
+  (`unet/model.safetensors`, ...) + `config.json` — fully portable,
+  torch-free.
+- Training state (params + optimizer + step): Orbax, for fast async
+  TPU-native checkpointing and true resume (the reference loses optimizer
+  state on resume — train_denoising.py:194-202 reloads weights only).
+- One-time import of Hugging Face torch checkpoints (SD1.5 / SD-inpaint):
+  name-mapped, layout-transposed (OIHW->HWIO convs, transposed Dense
+  kernels) from the diffusers/transformers state dicts.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from safetensors import numpy as st_numpy
+except ImportError:  # pragma: no cover
+    st_numpy = None
+
+
+# ---------------------------------------------------------------------------
+# Pytree <-> flat dict
+# ---------------------------------------------------------------------------
+
+
+def flatten_params(tree, sep: str = "/") -> Dict[str, np.ndarray]:
+    flat = {}
+
+    def rec(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                rec(f"{prefix}{sep}{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    rec("", tree)
+    return flat
+
+
+def unflatten_params(flat: Dict[str, np.ndarray], sep: str = "/"):
+    tree: Dict[str, Any] = {}
+    for key, val in flat.items():
+        parts = key.split(sep)
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(val)
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# safetensors save/load
+# ---------------------------------------------------------------------------
+
+
+def save_params(params, path: str) -> None:
+    """Save a params pytree as a flat safetensors file."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    st_numpy.save_file(flatten_params(params), path)
+
+
+def load_params(path: str):
+    return unflatten_params(dict(st_numpy.load_file(path)))
+
+
+# ---------------------------------------------------------------------------
+# Pipeline directory layout
+# ---------------------------------------------------------------------------
+
+_COMPONENTS = ("unet", "vae", "text_encoder")
+
+
+def save_pipeline(
+    directory: str,
+    params: Dict[str, Any],
+    config,
+    extra_meta: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Write a full pipeline checkpoint: per-component safetensors + configs."""
+    os.makedirs(directory, exist_ok=True)
+    for comp in _COMPONENTS:
+        if comp in params:
+            save_params(params[comp], os.path.join(directory, comp, "model.safetensors"))
+    meta = {
+        "_framework": "image_restoration_and_enhancement_tpu",
+        "components": [c for c in _COMPONENTS if c in params],
+        "config": dataclasses.asdict(config) if dataclasses.is_dataclass(config) else config,
+    }
+    if extra_meta:
+        meta.update(extra_meta)
+    with open(os.path.join(directory, "model_index.json"), "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+
+
+def load_pipeline(directory: str) -> Dict[str, Any]:
+    """Load per-component params from a pipeline directory."""
+    params = {}
+    for comp in _COMPONENTS:
+        p = os.path.join(directory, comp, "model.safetensors")
+        if os.path.exists(p):
+            params[comp] = load_params(p)
+    if not params:
+        raise FileNotFoundError(f"No component checkpoints under {directory}")
+    return params
+
+
+def pipeline_exists(directory: str) -> bool:
+    return os.path.exists(os.path.join(directory, "model_index.json")) or any(
+        os.path.exists(os.path.join(directory, c, "model.safetensors"))
+        for c in _COMPONENTS
+    )
+
+
+def find_latest_checkpoint(model_dir: str) -> Optional[str]:
+    """Reference semantics (src/inference.py:93-137): prefer `best/`, else the
+    numerically-largest `checkpoint-*`, else `final/`."""
+    if not os.path.isdir(model_dir):
+        return None
+    best = os.path.join(model_dir, "best")
+    if pipeline_exists(best):
+        return best
+    cands = []
+    for name in os.listdir(model_dir):
+        m = re.fullmatch(r"checkpoint-(\d+)", name)
+        if m and pipeline_exists(os.path.join(model_dir, name)):
+            cands.append((int(m.group(1)), name))
+    if cands:
+        return os.path.join(model_dir, max(cands)[1])
+    final = os.path.join(model_dir, "final")
+    if pipeline_exists(final):
+        return final
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Orbax training-state checkpointing (params + optimizer + step)
+# ---------------------------------------------------------------------------
+
+
+class TrainCheckpointer:
+    """Orbax-backed save/restore of full training state (true resume)."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+        )
+
+    def save(self, step: int, state) -> None:
+        self.manager.save(step, args=self._ocp.args.StandardSave(state))
+        self.manager.wait_until_finished()
+
+    def restore(self, state_template, step: Optional[int] = None):
+        step = step if step is not None else self.manager.latest_step()
+        if step is None:
+            return None
+        return self.manager.restore(
+            step, args=self._ocp.args.StandardRestore(state_template)
+        )
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+
+# ---------------------------------------------------------------------------
+# Torch (diffusers / transformers) -> flax name mapping
+# ---------------------------------------------------------------------------
+
+
+def _is_conv_kernel(torch_name: str) -> bool:
+    # Conv weights in diffusers UNet/VAE: conv*, downsamplers/upsamplers,
+    # proj_in/proj_out of Transformer2D (1x1 convs), quant convs.
+    conv_markers = (
+        "conv", "downsamplers", "upsamplers", "quant_conv",
+    )
+    last = torch_name.rsplit(".", 2)
+    return any(m in torch_name for m in conv_markers) or (
+        len(last) >= 2 and last[-2] in ("proj_in", "proj_out") and "transformer" not in torch_name.split(last[-2])[1]
+    )
+
+
+_NORM_PARENTS = (
+    "norm", "norm1", "norm2", "norm3", "group_norm", "conv_norm_out",
+    "layer_norm1", "layer_norm2", "final_layer_norm",
+)
+
+
+def translate_torch_key(torch_key: str) -> Tuple[Tuple[str, ...], str]:
+    """Map one diffusers/transformers param name to (flax_path, kind).
+
+    kind in {"conv", "dense", "norm_scale", "bias", "embed", "raw"} and
+    decides the layout transform.
+    """
+    key = torch_key
+    # transformers CLIP prefix
+    key = key.replace("text_model.embeddings.", "")
+    key = key.replace("text_model.encoder.", "")
+    key = key.replace("text_model.", "")
+    key = key.replace("mlp.", "")
+    # diffusers GEGLU feed-forward
+    key = key.replace("ff.net.0.proj", "ff.proj_in")
+    key = key.replace("ff.net.2", "ff.proj_out")
+    key = key.replace("to_out.0", "to_out")
+    key = key.replace("time_embedding.linear_1", "time_embedding.linear_1")
+    # index-suffixed module lists: down_blocks.0 -> down_blocks_0
+    key = re.sub(
+        r"\b(down_blocks|up_blocks|resnets|attentions|transformer_blocks|"
+        r"downsamplers|upsamplers|layers)\.(\d+)",
+        r"\1_\2",
+        key,
+    )
+    parts = key.split(".")
+    leaf = parts[-1]
+    parent = parts[-2] if len(parts) > 1 else ""
+
+    if parent == "token_embedding" and leaf == "weight":
+        return tuple(parts[:-1] + ["embedding"]), "embed"
+    if parent == "position_embedding" and leaf == "weight":
+        return tuple(parts[:-1]), "raw"  # flax bare param
+
+    if leaf == "weight":
+        if parent in _NORM_PARENTS:
+            return tuple(parts[:-1] + ["scale"]), "norm_scale"
+        # conv vs dense by parent name
+        conv_parents = (
+            "conv_in", "conv_out", "conv1", "conv2", "conv_shortcut", "conv",
+            "quant_conv", "post_quant_conv",
+        )
+        is_tx_proj = parent in ("proj_in", "proj_out") and any(
+            "transformer_blocks" in p or p == "ff" for p in parts
+        ) and parts[parts.index(parent) - 1] == "ff"
+        if parent in conv_parents:
+            return tuple(parts[:-1] + ["kernel"]), "conv"
+        if parent in ("proj_in", "proj_out") and not is_tx_proj:
+            # Transformer2D spatial projections are 1x1 convs in SD1.5
+            # (use_linear_projection=False) — but GEGLU ff.proj_* are Dense.
+            if "ff" in parts:
+                return tuple(parts[:-1] + ["kernel"]), "dense"
+            return tuple(parts[:-1] + ["kernel"]), "conv"
+        return tuple(parts[:-1] + ["kernel"]), "dense"
+    if leaf == "bias":
+        return tuple(parts[:-1] + ["bias"]), "bias"
+    return tuple(parts), "raw"
+
+
+def import_torch_state_dict(
+    state_dict: Dict[str, np.ndarray]
+) -> Dict[str, Any]:
+    """Convert a diffusers/transformers torch state dict (numpy arrays) into
+    a flax params pytree matching our module structure."""
+    flat: Dict[str, np.ndarray] = {}
+    for tkey, arr in state_dict.items():
+        arr = np.asarray(arr)
+        path, kind = translate_torch_key(tkey)
+        if kind == "conv":
+            if arr.ndim != 4:
+                kind = "dense"  # e.g. a Dense that matched conv heuristics
+            else:
+                arr = arr.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+        if kind == "dense" and arr.ndim == 2:
+            arr = arr.T
+        flat["/".join(path)] = arr
+    return unflatten_params(flat)
+
+
+def load_torch_safetensors(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch-saved .safetensors file as numpy (no torch needed)."""
+    return dict(st_numpy.load_file(path))
+
+
+def import_hf_pipeline(directory: str) -> Dict[str, Any]:
+    """Import a diffusers pipeline directory (torch safetensors) into our
+    params bundle {unet, vae, text_encoder}. Used once to seed fine-tuning
+    from SD1.5 / SD-inpainting weights."""
+    out = {}
+    comp_files = {
+        "unet": ("diffusion_pytorch_model.safetensors", "unet"),
+        "vae": ("diffusion_pytorch_model.safetensors", "vae"),
+        "text_encoder": ("model.safetensors", "text_encoder"),
+    }
+    for comp, (fname, sub) in comp_files.items():
+        p = os.path.join(directory, sub, fname)
+        if os.path.exists(p):
+            out[comp] = import_torch_state_dict(load_torch_safetensors(p))
+    if not out:
+        raise FileNotFoundError(f"No torch safetensors found under {directory}")
+    return out

@@ -1,0 +1,94 @@
+"""Flax CLIP ViT-L/14 text encoder.
+
+First-party replacement for `transformers.CLIPTextModel` as the reference
+configures it (reference: outputs/models/denoising/best/text_encoder/
+config.json — hidden 768, 12 layers / 12 heads, 77 positions, vocab 49408,
+quick_gelu; consumed at scripts/train_denoising.py:600-610 and inside the
+diffusers pipelines).
+
+Pre-LayerNorm transformer with a causal mask (CLIP text towers are causal).
+Sequence length is fixed at 77 tokens, so attention here is a single fused
+XLA einsum — far below the threshold where the Pallas kernel pays off.
+Returns last_hidden_state [B, 77, hidden]; that is all SD conditioning uses.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import CLIPTextConfig
+
+
+def _quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class CLIPAttention(nn.Module):
+    config: CLIPTextConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, causal_mask: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        b, n, h = x.shape
+        heads = cfg.num_attention_heads
+        hd = cfg.hidden_size // heads
+        q = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="v_proj")(x)
+        q = q.reshape(b, n, heads, hd)
+        k = k.reshape(b, n, heads, hd)
+        v = v.reshape(b, n, heads, hd)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        s = s / (hd**0.5) + causal_mask
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, n, cfg.hidden_size)
+        return nn.Dense(cfg.hidden_size, dtype=self.dtype, name="out_proj")(o)
+
+
+class CLIPEncoderLayer(nn.Module):
+    config: CLIPTextConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, causal_mask: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm1")(x)
+        x = x + CLIPAttention(cfg, dtype=self.dtype, name="self_attn")(
+            h.astype(self.dtype), causal_mask
+        )
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm2")(x)
+        h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="fc1")(h.astype(self.dtype))
+        h = _quick_gelu(h) if cfg.hidden_act == "quick_gelu" else nn.gelu(h)
+        h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fc2")(h)
+        return x + h
+
+
+class CLIPTextModel(nn.Module):
+    """Token ids [B, 77] (int32) -> last_hidden_state [B, 77, hidden]."""
+
+    config: CLIPTextConfig = CLIPTextConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        b, n = input_ids.shape
+        tok_emb = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size, dtype=self.dtype, name="token_embedding"
+        )(input_ids)
+        pos_emb = self.param(
+            "position_embedding",
+            nn.initializers.normal(0.01),
+            (cfg.max_position_embeddings, cfg.hidden_size),
+        )
+        x = tok_emb + pos_emb[None, :n].astype(self.dtype)
+
+        causal = jnp.triu(jnp.full((n, n), -1e9, dtype=jnp.float32), k=1)[None, None]
+        for i in range(cfg.num_hidden_layers):
+            x = CLIPEncoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")(x, causal)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="final_layer_norm")(x)
+        return x.astype(jnp.float32)

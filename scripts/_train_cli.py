@@ -1,0 +1,66 @@
+"""Shared CLI for the four per-task training scripts.
+
+Argument surface mirrors the reference trainers (train_denoising.py:930-965)
+so existing invocations translate directly; the implementation is the single
+generic TPU trainer (train/trainer.py).
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_parser(task: str, default_output: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=f"Fine-tune Stable Diffusion for {task} (TPU)")
+    p.add_argument("--data_root", default="data/pairs",
+                   help="Root of the pair layout data/pairs/{task}/{split}")
+    p.add_argument("--output_dir", default=default_output)
+    p.add_argument("--num_epochs", type=int, default=10)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--learning_rate", type=float, default=5e-6)
+    p.add_argument("--lambda_img", type=float, default=0.05)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=8)
+    p.add_argument("--save_steps", type=int, default=500)
+    p.add_argument("--resume", action="store_true",
+                   help="Resume from the orbax train state (exact resume, "
+                        "including optimizer state)")
+    p.add_argument("--init_from", default=None,
+                   help="Pipeline checkpoint (ours) or diffusers torch dir to "
+                        "initialize weights from")
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--max_train_samples", type=int, default=None)
+    p.add_argument("--max_val_samples", type=int, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--no_mesh", action="store_true", help="Disable data-parallel mesh")
+    return p
+
+
+def run(task: str, default_output: str) -> None:
+    args = build_parser(task, default_output).parse_args()
+
+    from image_restoration_and_enhancement_tpu.train.loop import TrainConfig
+    from image_restoration_and_enhancement_tpu.train.trainer import train_task
+
+    cfg = TrainConfig(
+        num_epochs=args.num_epochs,
+        batch_size=args.batch_size,
+        learning_rate=args.learning_rate,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        lambda_img=args.lambda_img,
+        image_size=args.image_size,
+        seed=args.seed,
+        save_steps=args.save_steps,
+    )
+    metrics = train_task(
+        task,
+        data_root=args.data_root,
+        output_dir=args.output_dir,
+        cfg=cfg,
+        init_from=args.init_from,
+        max_train_samples=args.max_train_samples,
+        max_val_samples=args.max_val_samples,
+        use_mesh=not args.no_mesh,
+        resume=args.resume,
+    )
+    print({k: round(v, 4) for k, v in metrics.items()})

@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Evaluate predictions against ground truth for all tasks -> JSON + table.
+
+Equivalent of the reference's scripts/evaluate_model.py (:18-124): per-task
+PSNR/SSIM (+LPIPS when weights are imported), FID only for colorize/inpaint
+(:84), writes outputs/evaluation_results.json (:105-106).
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from image_restoration_and_enhancement_tpu.metrics.evaluate import (
+    evaluate_task,
+    print_results,
+)
+from image_restoration_and_enhancement_tpu.tasks.registry import TASKS
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pred_root", default="outputs/predictions")
+    p.add_argument("--data_root", default="data/pairs")
+    p.add_argument("--split", default="test")
+    p.add_argument("--tasks", nargs="+", default=list(TASKS), choices=list(TASKS))
+    p.add_argument("--out_json", default="outputs/evaluation_results.json")
+    p.add_argument("--use_lpips", action="store_true", default=True)
+    p.add_argument("--use_fid", action="store_true", default=True)
+    args = p.parse_args()
+
+    results = {}
+    for task in args.tasks:
+        spec = TASKS[task]
+        pred_dir = os.path.join(args.pred_root, spec.pair_dir)
+        gt_dir = os.path.join(args.data_root, spec.pair_dir, args.split, "gt")
+        if not (os.path.isdir(pred_dir) and os.path.isdir(gt_dir)):
+            print(f"[{task}] missing dirs, skipping")
+            continue
+        res = evaluate_task(
+            pred_dir, gt_dir,
+            with_color=spec.with_color_metrics, with_y=spec.with_y_metrics,
+            use_lpips=args.use_lpips,
+            use_fid=args.use_fid and task in ("colorize", "inpaint"),
+        )
+        results[task] = res
+        print_results(task, res)
+
+    os.makedirs(os.path.dirname(args.out_json), exist_ok=True)
+    with open(args.out_json, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"\nwrote {args.out_json}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Run the RestorationPipeline over the test split and save final outputs.
+
+Equivalent of the reference's scripts/generate_predictions.py (:15-100),
+without its latent `backend=` kwarg bug (:18 — documented in SURVEY §2.1 #14).
+Writes outputs/predictions/{task}/ for evaluate_model.py.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from PIL import Image
+
+from image_restoration_and_enhancement_tpu.infer.pipeline import RestorationPipeline
+from image_restoration_and_enhancement_tpu.tasks.registry import TASKS
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_root", default="data/pairs")
+    p.add_argument("--out_root", default="outputs/predictions")
+    p.add_argument("--models_root", default="outputs/models")
+    p.add_argument("--tasks", nargs="+", default=list(TASKS), choices=list(TASKS))
+    p.add_argument("--split", default="test")
+    p.add_argument("--max_images", type=int, default=None)
+    args = p.parse_args()
+
+    pipeline = RestorationPipeline(models_root=args.models_root)
+    for task in args.tasks:
+        spec = TASKS[task]
+        in_dir = os.path.join(args.data_root, spec.pair_dir, args.split, "input")
+        mask_dir = os.path.join(args.data_root, spec.pair_dir, args.split, "mask")
+        out_dir = os.path.join(args.out_root, spec.pair_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        if not os.path.isdir(in_dir):
+            print(f"[{task}] no inputs at {in_dir}, skipping")
+            continue
+        names = sorted(os.listdir(in_dir))[: args.max_images]
+        print(f"[{task}] {len(names)} images")
+        for name in names:
+            img = Image.open(os.path.join(in_dir, name)).convert("RGB")
+            kwargs = {}
+            if spec.uses_mask:
+                mpath = os.path.join(mask_dir, name)
+                if os.path.exists(mpath):
+                    kwargs["mask"] = Image.open(mpath).convert("L")
+            result = pipeline.process(img, [task], **kwargs)
+            result["final"].save(os.path.join(out_dir, name))
+    print("done.")
+
+
+if __name__ == "__main__":
+    main()

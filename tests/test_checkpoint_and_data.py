@@ -1,0 +1,275 @@
+"""Checkpoint I/O, torch import mapping, datasets, native lib, fallbacks."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from image_restoration_and_enhancement_tpu import config as C, native
+from image_restoration_and_enhancement_tpu.core import checkpoint as ckpt
+from image_restoration_and_enhancement_tpu.data import host_degradations as hd
+from image_restoration_and_enhancement_tpu.data.datasets import BatchLoader, PairDataset
+from image_restoration_and_enhancement_tpu.infer import fallbacks
+from image_restoration_and_enhancement_tpu.metrics.perceptual import (
+    fid_from_features,
+    frechet_distance,
+)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint round-trips
+# ---------------------------------------------------------------------------
+
+
+def _tiny_params():
+    return {
+        "unet": {"conv_in": {"kernel": np.ones((3, 3, 4, 8), np.float32),
+                             "bias": np.zeros(8, np.float32)}},
+        "vae": {"encoder": {"conv_in": {"kernel": np.ones((3, 3, 3, 8), np.float32)}}},
+    }
+
+
+def test_save_load_pipeline_roundtrip(tmp_path):
+    d = str(tmp_path / "best")
+    params = _tiny_params()
+    ckpt.save_pipeline(d, params, C.TINY_SD)
+    assert ckpt.pipeline_exists(d)
+    loaded = ckpt.load_pipeline(d)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["unet"]["conv_in"]["kernel"]),
+        params["unet"]["conv_in"]["kernel"],
+    )
+    meta = json.load(open(os.path.join(d, "model_index.json")))
+    assert "unet" in meta["components"]
+
+
+def test_find_latest_checkpoint_semantics(tmp_path):
+    root = str(tmp_path / "model")
+    assert ckpt.find_latest_checkpoint(root) is None
+    for step in (100, 900, 1000):
+        ckpt.save_pipeline(os.path.join(root, f"checkpoint-{step}"), _tiny_params(), C.TINY_SD)
+    assert ckpt.find_latest_checkpoint(root).endswith("checkpoint-1000")
+    ckpt.save_pipeline(os.path.join(root, "best"), _tiny_params(), C.TINY_SD)
+    assert ckpt.find_latest_checkpoint(root).endswith("best")
+
+
+def test_torch_import_name_mapping():
+    """Round-trip: torch-style names/layouts -> flax tree with transposes."""
+    state = {
+        "conv_in.weight": np.random.rand(8, 4, 3, 3).astype(np.float32),
+        "conv_in.bias": np.zeros(8, np.float32),
+        "down_blocks.0.resnets.0.norm1.weight": np.ones(8, np.float32),
+        "down_blocks.0.resnets.0.norm1.bias": np.zeros(8, np.float32),
+        "down_blocks.0.resnets.0.conv1.weight": np.random.rand(8, 8, 3, 3).astype(np.float32),
+        "down_blocks.0.resnets.0.time_emb_proj.weight": np.random.rand(8, 32).astype(np.float32),
+        "down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q.weight":
+            np.random.rand(8, 8).astype(np.float32),
+        "down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_out.0.weight":
+            np.random.rand(8, 8).astype(np.float32),
+        "down_blocks.0.attentions.0.transformer_blocks.0.ff.net.0.proj.weight":
+            np.random.rand(64, 8).astype(np.float32),
+        "down_blocks.0.attentions.0.transformer_blocks.0.ff.net.2.weight":
+            np.random.rand(8, 32).astype(np.float32),
+        "down_blocks.0.attentions.0.proj_in.weight": np.random.rand(8, 8, 1, 1).astype(np.float32),
+        "down_blocks.0.downsamplers.0.conv.weight": np.random.rand(8, 8, 3, 3).astype(np.float32),
+        "text_model.encoder.layers.0.self_attn.q_proj.weight": np.random.rand(16, 16).astype(np.float32),
+        "text_model.embeddings.token_embedding.weight": np.random.rand(100, 16).astype(np.float32),
+        "text_model.final_layer_norm.weight": np.ones(16, np.float32),
+    }
+    tree = ckpt.import_torch_state_dict(state)
+    # conv OIHW -> HWIO
+    assert tree["conv_in"]["kernel"].shape == (3, 3, 4, 8)
+    # dense transposed
+    assert tree["down_blocks_0"]["resnets_0"]["time_emb_proj"]["kernel"].shape == (32, 8)
+    # norm scale naming
+    assert "scale" in tree["down_blocks_0"]["resnets_0"]["norm1"]
+    # GEGLU ff mapping
+    tb = tree["down_blocks_0"]["attentions_0"]["transformer_blocks_0"]
+    assert tb["ff"]["proj_in"]["kernel"].shape == (8, 64)
+    assert tb["ff"]["proj_out"]["kernel"].shape == (32, 8)
+    assert tb["attn1"]["to_out"]["kernel"].shape == (8, 8)
+    # Transformer2D 1x1 conv stays a conv
+    assert tree["down_blocks_0"]["attentions_0"]["proj_in"]["kernel"].shape == (1, 1, 8, 8)
+    # CLIP pieces
+    assert tree["layers_0"]["self_attn"]["q_proj"]["kernel"].shape == (16, 16)
+    assert tree["token_embedding"]["embedding"].shape == (100, 16)
+    assert "scale" in tree["final_layer_norm"]
+
+
+def test_import_matches_tiny_unet_structure():
+    """Every mapped name from a synthetic torch dict must exist in the real
+    tiny UNet param tree (guards against silent mapping drift)."""
+    from image_restoration_and_enhancement_tpu.models.unet import UNet2DCondition
+
+    model = UNet2DCondition(C.TINY_UNET, attention_backend="xla")
+    params = jax.eval_shape(
+        lambda k: model.init(
+            k, jnp.zeros((1, 16, 16, 4)), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, C.TINY_UNET.cross_attention_dim)),
+        ),
+        jax.random.PRNGKey(0),
+    )["params"]
+    flat = ckpt.flatten_params(jax.tree.map(lambda x: np.zeros(x.shape), params))
+    # spot-check key paths exist
+    for path in [
+        "conv_in/kernel",
+        "time_embedding/linear_1/kernel",
+        "down_blocks_0/resnets_0/norm1/scale",
+        "down_blocks_0/attentions_0/transformer_blocks_0/attn1/to_q/kernel",
+        "down_blocks_0/attentions_0/transformer_blocks_0/ff/proj_in/kernel",
+        "mid_block/attentions_0/proj_out/kernel",
+        "up_blocks_3/resnets_1/conv2/kernel",  # tiny: layers_per_block+1 = 2
+        "conv_norm_out/scale",
+        "conv_out/bias",
+    ]:
+        assert path in flat, f"missing {path}"
+
+
+# ---------------------------------------------------------------------------
+# datasets
+# ---------------------------------------------------------------------------
+
+
+def _write_pairs(tmp_path, task="denoise", n=4, with_mask=False, size=40):
+    rng = np.random.default_rng(0)
+    base = tmp_path / "pairs" / task / "train"
+    for kind in ["input", "gt"] + (["mask"] if with_mask else []):
+        (base / kind).mkdir(parents=True, exist_ok=True)
+    for i in range(n):
+        img = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(base / "input" / f"img{i}.jpg")
+        Image.fromarray(img).save(base / "gt" / f"img{i}.png")  # cross-ext match
+        if with_mask:
+            m = np.zeros((size, size), np.uint8)
+            m[:10, :10] = 255
+            Image.fromarray(m).save(base / "mask" / f"img{i}.png")
+    return str(tmp_path / "pairs")
+
+
+def test_pair_dataset_and_loader(tmp_path):
+    root = _write_pairs(tmp_path, n=5)
+    ds = PairDataset("denoise", root, "train", image_size=32)
+    assert len(ds) == 5
+    item = ds[0]
+    assert item["input"].shape == (32, 32, 3)
+    assert item["input"].min() >= -1.0 and item["input"].max() <= 1.0
+    loader = BatchLoader(ds, batch_size=2, prefetch=True)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2  # drop_last
+    assert batches[0]["gt"].shape == (2, 32, 32, 3)
+
+
+def test_pair_dataset_mask_polarity(tmp_path):
+    root = _write_pairs(tmp_path, task="inpaint", with_mask=True)
+    ds = PairDataset("inpaint", root, "train", image_size=32)
+    m = ds[0]["mask"]
+    assert m.shape == (32, 32, 1)
+    assert set(np.unique(m)).issubset({0.0, 1.0})
+    assert m.mean() < 0.5  # hole is minority -> polarity kept
+
+
+def test_max_samples(tmp_path):
+    root = _write_pairs(tmp_path, n=5)
+    ds = PairDataset("denoise", root, "train", image_size=32, max_samples=2)
+    assert len(ds) == 2
+
+
+# ---------------------------------------------------------------------------
+# native lib
+# ---------------------------------------------------------------------------
+
+
+def test_native_resize_matches_reference_scaling(rng):
+    img = rng.random((24, 24, 3)).astype(np.float32)
+    out = native.resize_bicubic(img, (12, 12))
+    assert out.shape == (12, 12, 3)
+    np.testing.assert_allclose(out.mean(), img.mean(), atol=0.02)
+
+
+def test_native_pm1_roundtrip(rng):
+    u8 = (rng.random((8, 8, 3)) * 255).astype(np.uint8)
+    pm1 = native.to_pm1(u8)
+    assert pm1.min() >= -1 and pm1.max() <= 1
+    back = native.from_pm1(pm1)
+    np.testing.assert_array_equal(back, u8)
+
+
+def test_native_noise_changes_image(rng):
+    u8 = np.full((16, 16, 3), 128, np.uint8)
+    noisy = native.add_gaussian_noise_u8(u8, 6.0, seed=123)
+    resid = noisy.astype(np.float32) - 128.0
+    assert 3.0 < resid.std() < 9.0
+    # deterministic
+    noisy2 = native.add_gaussian_noise_u8(u8, 6.0, seed=123)
+    np.testing.assert_array_equal(noisy, noisy2)
+
+
+def test_native_lab_l_vs_cv2(rng):
+    import cv2
+
+    u8 = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+    ours = native.rgb_to_lab_l(u8).astype(np.float32)
+    ref = cv2.cvtColor(u8, cv2.COLOR_RGB2LAB)[:, :, 0].astype(np.float32)
+    assert np.abs(ours - ref).mean() < 2.0
+
+
+# ---------------------------------------------------------------------------
+# host degradations + fallbacks
+# ---------------------------------------------------------------------------
+
+
+def test_host_degradations(rng):
+    g = np.random.default_rng(0)
+    img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    assert hd.degrade_denoise(g, img).shape == img.shape
+    lr = hd.degrade_sr(g, img, 4)
+    assert lr.shape == (16, 16, 3)
+    gray = hd.to_grayscale(img)
+    assert gray.shape == (64, 64)
+    masked, mask = hd.inpaint_pair(g, img)
+    assert (masked[mask == 255] == 0).all()
+    m = hd.free_form_mask(g, (64, 64))
+    assert set(np.unique(m)).issubset({0, 255})
+
+
+def test_fallbacks_contracts(rng):
+    img = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+    assert fallbacks.denoise_opencv(img, 0.9).shape == img.shape
+    assert fallbacks.sr_lanczos(img, 4).shape == (192, 192, 3)
+    assert fallbacks.colorize_lab(img).shape == img.shape
+    gray = np.stack([img[..., 0]] * 3, -1)
+    assert not fallbacks.is_color_image(gray)
+    assert fallbacks.is_color_image(img) or True  # random may be colorful
+    # polarity: mostly-black mask inverts
+    mask = np.zeros((48, 48), np.uint8)
+    mask[:4, :4] = 255
+    norm = fallbacks.normalize_mask(mask, (48, 48))
+    assert (norm > 128).mean() > 0.9  # inverted
+    # auto-mask flags an image with a big dark hole
+    dark = img.copy()
+    dark[10:30, 10:30] = 0
+    am = fallbacks.auto_mask_from_image(dark)
+    assert am is not None and am[15, 15] > 0
+
+
+# ---------------------------------------------------------------------------
+# FID math
+# ---------------------------------------------------------------------------
+
+
+def test_frechet_distance_identity():
+    mu = np.zeros(4)
+    sigma = np.eye(4)
+    assert abs(frechet_distance(mu, sigma, mu, sigma)) < 1e-8
+
+
+def test_fid_from_features_orders_correctly(rng):
+    a = rng.normal(0, 1, (500, 8))
+    b = rng.normal(0.1, 1, (500, 8))
+    c = rng.normal(3.0, 2, (500, 8))
+    near = fid_from_features(a, b)
+    far = fid_from_features(a, c)
+    assert 0 <= near < far

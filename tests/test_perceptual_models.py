@@ -1,0 +1,75 @@
+"""LPIPS / InceptionV3 architectures: shape checks + import mapping."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_restoration_and_enhancement_tpu.metrics.inception import (
+    InceptionV3Features,
+    import_inception_torch_state,
+)
+from image_restoration_and_enhancement_tpu.metrics.perceptual import (
+    LPIPSAlex,
+    import_lpips_torch_state,
+)
+
+
+def test_lpips_arch_shapes_and_symmetry():
+    model = LPIPSAlex()
+    a = jnp.zeros((1, 64, 64, 3))
+    b = jnp.ones((1, 64, 64, 3)) * 0.5
+    params = model.init(jax.random.PRNGKey(0), a, b)
+    d_ab = model.apply(params, a, b)
+    d_ba = model.apply(params, b, a)
+    d_aa = model.apply(params, a, a)
+    assert d_ab.shape == (1,)
+    np.testing.assert_allclose(np.asarray(d_ab), np.asarray(d_ba), rtol=1e-5)
+    assert float(d_aa[0]) < 1e-6
+    assert float(d_ab[0]) > 0
+
+
+def test_lpips_torch_import_mapping():
+    state = {
+        "net.features.0.weight": np.zeros((64, 3, 11, 11), np.float32),
+        "net.features.0.bias": np.zeros(64, np.float32),
+        "net.features.3.weight": np.zeros((192, 64, 5, 5), np.float32),
+        "lins.0.model.1.weight": np.ones((1, 64, 1, 1), np.float32),
+        "lins.4.model.1.weight": np.ones((1, 256, 1, 1), np.float32),
+    }
+    tree = import_lpips_torch_state(state)
+    assert tree["alex"]["conv1"]["kernel"].shape == (11, 11, 3, 64)
+    assert tree["alex"]["conv2"]["kernel"].shape == (5, 5, 64, 192)
+    assert tree["lin0"].shape == (64,)
+    assert tree["lin4"].shape == (256,)
+
+
+@pytest.mark.slow
+def test_inception_arch_output_dim():
+    model = InceptionV3Features()
+    x = jnp.zeros((1, 299, 299, 3))
+    params = jax.eval_shape(lambda k: model.init(k, x), jax.random.PRNGKey(0))
+    out = jax.eval_shape(
+        lambda p: model.apply(p, x),
+        params,
+    )
+    assert out.shape == (1, 2048)
+
+
+def test_inception_import_mapping_structure():
+    state = {
+        "Conv2d_1a_3x3.conv.weight": np.zeros((32, 3, 3, 3), np.float32),
+        "Conv2d_1a_3x3.bn.weight": np.ones(32, np.float32),
+        "Conv2d_1a_3x3.bn.bias": np.zeros(32, np.float32),
+        "Conv2d_1a_3x3.bn.running_mean": np.zeros(32, np.float32),
+        "Conv2d_1a_3x3.bn.running_var": np.ones(32, np.float32),
+        "Conv2d_1a_3x3.bn.num_batches_tracked": np.zeros((), np.int64),
+        "Mixed_5b.branch1x1.conv.weight": np.zeros((64, 192, 1, 1), np.float32),
+        "Mixed_5b.branch1x1.bn.running_var": np.ones(64, np.float32),
+        "fc.weight": np.zeros((1000, 2048), np.float32),
+    }
+    tree = import_inception_torch_state(state)
+    assert tree["Conv2d_1a_3x3"]["conv"]["kernel"].shape == (3, 3, 3, 32)
+    assert tree["Conv2d_1a_3x3"]["bn_scale"].shape == (32,)
+    assert tree["Conv2d_1a_3x3"]["bn_var"].shape == (32,)
+    assert tree["Mixed_5b"]["branch1x1"]["conv"]["kernel"].shape == (1, 1, 192, 64)
+    assert "fc" not in tree

@@ -1,0 +1,80 @@
+"""RestorationPipeline public-contract tests (classical-fallback paths —
+no checkpoints on disk, so every task exercises its fallback chain)."""
+import numpy as np
+import pytest
+from PIL import Image
+
+from image_restoration_and_enhancement_tpu.infer.pipeline import RestorationPipeline
+
+
+@pytest.fixture(scope="module")
+def pipeline(tmp_path_factory):
+    root = tmp_path_factory.mktemp("models")
+    return RestorationPipeline(models_root=str(root))
+
+
+@pytest.fixture
+def color_img(rng):
+    arr = (rng.random((40, 40, 3)) * 255).astype(np.uint8)
+    return Image.fromarray(arr)
+
+
+def test_process_contract_keys(pipeline, color_img):
+    out = pipeline.process(color_img, ["denoise"])
+    assert set(out) >= {"original", "denoised", "final"}
+    assert isinstance(out["final"], Image.Image)
+    assert out["final"].size == color_img.size
+
+
+def test_process_sequential_tasks(pipeline, color_img):
+    out = pipeline.process(color_img, ["denoise", "sr"])
+    assert "denoised" in out and "super_resolved" in out
+    # SR x4 applied to the running image
+    assert out["super_resolved"].size == (160, 160)
+    assert out["final"].size == (160, 160)
+
+
+def test_process_swallows_errors_and_keeps_final(pipeline, color_img):
+    out = pipeline.process(color_img, ["not_a_task", "denoise"])
+    assert "final" in out and "denoised" in out
+
+
+def test_colorize_skips_color_images(pipeline):
+    arr = np.zeros((32, 32, 3), np.uint8)
+    arr[..., 0] = 250  # strongly colored
+    out = pipeline.colorize(Image.fromarray(arr))
+    np.testing.assert_array_equal(np.array(out), arr)
+
+
+def test_colorize_runs_on_gray(pipeline, rng):
+    g = (rng.random((32, 32)) * 255).astype(np.uint8)
+    arr = np.stack([g] * 3, -1)
+    out = np.array(pipeline.colorize(Image.fromarray(arr)))
+    assert out.shape == (32, 32, 3)
+
+
+def test_inpaint_no_mask_no_damage_returns_original(pipeline, rng):
+    arr = (rng.random((32, 32, 3)) * 155 + 50).astype(np.uint8)  # mid-tones
+    out = pipeline.inpaint(Image.fromarray(arr))
+    np.testing.assert_array_equal(np.array(out), arr)
+
+
+def test_inpaint_with_mask_returns_image(pipeline, color_img):
+    mask = np.zeros((40, 40), np.uint8)
+    mask[5:15, 5:15] = 255
+    out = pipeline.inpaint(color_img, mask=Image.fromarray(mask))
+    assert out.size == color_img.size
+
+
+def test_pretrained_sentinel_uses_fallbacks():
+    p = RestorationPipeline(
+        config={name: {"fine_tuned_dir": "nonexistent"} for name in
+                ("denoise", "sr_x4", "colorize", "inpaint")}
+    )
+    assert p._load_stack("denoise") is None  # classical fallback mode
+
+
+def test_numpy_input_accepted(pipeline, rng):
+    arr = (rng.random((24, 24, 3)) * 255).astype(np.uint8)
+    out = pipeline.denoise(arr, strength=0.3)
+    assert isinstance(out, Image.Image)

@@ -17,7 +17,7 @@ def tiny_stack():
     modules = sampling.SDModules.create(
         C.TINY_SD, dtype=jnp.float32, attention_backend="xla"
     )
-    params = sampling.init_params(modules, jax.random.PRNGKey(0), image_size=32)
+    params = sampling.init_params(modules, jax.random.PRNGKey(0), image_size=64)
     return modules, params
 
 
@@ -26,7 +26,7 @@ def tiny_inpaint_stack():
     modules = sampling.SDModules.create(
         C.TINY_SD_INPAINT, dtype=jnp.float32, attention_backend="xla"
     )
-    params = sampling.init_params(modules, jax.random.PRNGKey(0), image_size=32)
+    params = sampling.init_params(modules, jax.random.PRNGKey(0), image_size=64)
     return modules, params
 
 
@@ -39,13 +39,13 @@ def test_img2img_plms_runs_and_is_deterministic(tiny_stack):
     modules, params = tiny_stack
     fn = sampling.make_img2img_fn(modules, num_inference_steps=4, strength=0.5,
                                   guidance_scale=5.0, sampler="plms")
-    img = jnp.zeros((1, 32, 32, 3))
+    img = jnp.zeros((1, 64, 64, 3))
     ctx = _ctx(modules, params)
     un = _ctx(modules, params)
     key = jax.random.PRNGKey(42)
     out1 = fn(params, img, ctx, un, key)
     out2 = fn(params, img, ctx, un, key)
-    assert out1.shape == (1, 32, 32, 3)
+    assert out1.shape == (1, 64, 64, 3)
     assert float(jnp.abs(out1).max()) <= 1.0
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
     out3 = fn(params, img, ctx, un, jax.random.PRNGKey(7))
@@ -56,9 +56,9 @@ def test_img2img_ddim_no_cfg(tiny_stack):
     modules, params = tiny_stack
     fn = sampling.make_img2img_fn(modules, num_inference_steps=4, strength=0.8,
                                   guidance_scale=0.0, sampler="ddim")
-    out = fn(params, jnp.zeros((2, 32, 32, 3)), _ctx(modules, params, 2), None,
+    out = fn(params, jnp.zeros((2, 64, 64, 3)), _ctx(modules, params, 2), None,
              jax.random.PRNGKey(0))
-    assert out.shape == (2, 32, 32, 3)
+    assert out.shape == (2, 64, 64, 3)
     assert np.isfinite(np.asarray(out)).all()
 
 
@@ -66,11 +66,11 @@ def test_inpaint_fn_runs(tiny_inpaint_stack):
     modules, params = tiny_inpaint_stack
     fn = sampling.make_inpaint_fn(modules, num_inference_steps=3, strength=0.6,
                                   guidance_scale=5.0, sampler="ddim")
-    img = jnp.zeros((1, 32, 32, 3))
-    mask = jnp.zeros((1, 32, 32, 1)).at[:, 8:16, 8:16].set(1.0)
+    img = jnp.zeros((1, 64, 64, 3))
+    mask = jnp.zeros((1, 64, 64, 1)).at[:, 16:32, 16:32].set(1.0)
     out = fn(params, img, mask, _ctx(modules, params), _ctx(modules, params),
              jax.random.PRNGKey(0))
-    assert out.shape == (1, 32, 32, 3)
+    assert out.shape == (1, 64, 64, 3)
     assert np.isfinite(np.asarray(out)).all()
 
 
@@ -79,7 +79,7 @@ def test_inpaint_fn_runs(tiny_inpaint_stack):
 # ---------------------------------------------------------------------------
 
 
-def _batch(task_name, b=2, size=32):
+def _batch(task_name, b=2, size=64):
     rng = np.random.default_rng(0)
     batch = {
         "input": jnp.asarray(rng.random((b, size, size, 3), np.float32) * 2 - 1),

@@ -103,8 +103,13 @@ def _denoise_loop(
     fa = sched.final_alpha_cumprod(cfg)
     do_cfg = guidance_scale > 1.0 and uncond_context is not None
 
+    # Contexts may be encoded once per prompt ([1, 77, d]); broadcast to the
+    # image batch before the CFG stack.
+    b = latents.shape[0]
+    context = jnp.broadcast_to(context, (b,) + context.shape[1:])
     if do_cfg:
-        ctx_all = jnp.concatenate([uncond_context, context], axis=0)
+        uncond = jnp.broadcast_to(uncond_context, (b,) + uncond_context.shape[1:])
+        ctx_all = jnp.concatenate([uncond, context], axis=0)
     else:
         ctx_all = context
 

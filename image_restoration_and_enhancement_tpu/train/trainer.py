@@ -160,9 +160,14 @@ def train_task(
     use_mesh: bool = True,
     dtype=jnp.bfloat16,
     resume: bool = False,
+    model_config=None,
 ) -> Dict[str, float]:
-    """Fine-tune one task end to end. Returns the last validation metrics."""
+    """Fine-tune one task end to end. Returns the last validation metrics.
+
+    model_config: optional SDModelConfig override (tiny configs in tests)."""
     spec = get_task(task_name)
+    if model_config is not None:
+        spec = dataclasses.replace(spec, model_config=model_config)
     output_dir = output_dir or os.path.join("outputs", "models", spec.model_dir)
     _setup_logging(output_dir, spec.name)
     logger.info("=== training %s -> %s ===", spec.name, output_dir)

@@ -107,7 +107,9 @@ def test_train_step_reduces_shapes_and_is_finite(task_name, tiny_stack, tiny_inp
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["mse"]))
     assert float(metrics["grad_norm"]) > 0
-    # params actually moved
+    # first update is zero (cosine schedule warms up from lr=0); params must
+    # move once past warmup
+    new_state, _ = step(new_state, frozen, batch, ctx, jax.random.PRNGKey(1))
     diff = jax.tree.map(
         lambda a, b: float(jnp.abs(a - b).max()), state.params, new_state.params
     )
@@ -128,9 +130,13 @@ def test_train_step_grad_accum_defers_update(tiny_stack):
         lambda a, b: float(jnp.abs(a - b).max()), state.params, s1.params
     )))
     assert diff == 0.0
-    s2, _ = step(s1, frozen, _batch("denoise"), ctx, jax.random.PRNGKey(1))
+    # steps 2-4: completes two optimizer updates; the second uses a
+    # post-warmup (nonzero) learning rate, so params must move
+    s = s1
+    for i in range(1, 4):
+        s, _ = step(s, frozen, _batch("denoise"), ctx, jax.random.PRNGKey(i))
     diff2 = max(jax.tree.leaves(jax.tree.map(
-        lambda a, b: float(jnp.abs(a - b).max()), state.params, s2.params
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, s.params
     )))
     assert diff2 > 0.0
 

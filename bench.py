@@ -53,14 +53,21 @@ def main():
     )
     key = jax.random.PRNGKey(42)
 
+    # Warmup/compile, then force real execution with a host fetch: through
+    # remote-relay TPU backends, block_until_ready alone does not guarantee
+    # the queue has drained — only a device_get does.
     out = fn(params, image, ctx, ctx, key)
-    out.block_until_ready()  # compile + warmup
+    _ = float(jnp.mean(out))
 
     t0 = time.perf_counter()
+    x = image
     for i in range(iters):
-        out = fn(params, image, ctx, ctx, jax.random.fold_in(key, i))
-    out.block_until_ready()
+        # chain: each iteration consumes the previous output, so the device
+        # cannot overlap or elide any of the work
+        x = fn(params, x, ctx, ctx, jax.random.fold_in(key, i))
+    sync = float(jnp.mean(x))  # 4-byte fetch closes the timed region
     dt = time.perf_counter() - t0
+    assert sync == sync, "NaN in benchmark output"
 
     img_per_s = batch * iters / dt
     print(json.dumps({

@@ -49,10 +49,14 @@ class SDModules:
         config: SDModelConfig,
         dtype=jnp.bfloat16,
         attention_backend: Optional[str] = None,
+        remat: bool = False,
     ) -> "SDModules":
         return cls(
             config=config,
-            unet=UNet2DCondition(config.unet, dtype=dtype, attention_backend=attention_backend),
+            unet=UNet2DCondition(
+                config.unet, dtype=dtype, attention_backend=attention_backend,
+                remat=remat,
+            ),
             vae=AutoencoderKL(config.vae, dtype=dtype),
             text_encoder=CLIPTextModel(config.text_encoder, dtype=dtype),
         )

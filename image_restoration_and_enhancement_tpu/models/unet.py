@@ -102,8 +102,13 @@ class CrossAttnUpBlock(nn.Module):
     attention_backend: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, skips: List[jnp.ndarray], t_emb, context):
+    def __call__(self, x, skips: Tuple[jnp.ndarray, ...], t_emb, context):
+        """skips: this block's residuals, deepest last (consumed in reverse).
+        Passed as an immutable tuple so the block is remat-safe (pytree
+        flattening across a remat boundary would disconnect list mutation
+        from the caller)."""
         head_dim = self.out_channels // self.heads
+        skips = list(skips)
         for i in range(self.num_layers):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
             x = ResnetBlock2D(
@@ -130,6 +135,10 @@ class UNet2DCondition(nn.Module):
     config: UNetConfig
     dtype: jnp.dtype = jnp.float32
     attention_backend: Optional[str] = None
+    # Rematerialize down/mid/up blocks on the backward pass: trades ~30%
+    # more FLOPs for O(depth) less activation memory (the reference's
+    # enable_gradient_checkpointing, train_denoising.py:251-253).
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -156,10 +165,18 @@ class UNet2DCondition(nn.Module):
             cfg.block_out_channels[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in"
         )(x)
 
+        DownBlock = CrossAttnDownBlock
+        MidBlock = UNetMidBlock
+        UpBlock = CrossAttnUpBlock
+        if self.remat:
+            DownBlock = nn.remat(CrossAttnDownBlock)
+            MidBlock = nn.remat(UNetMidBlock)
+            UpBlock = nn.remat(CrossAttnUpBlock)
+
         skips: List[jnp.ndarray] = [x]
         n_levels = len(cfg.block_out_channels)
         for i, out_ch in enumerate(cfg.block_out_channels):
-            x, new_skips = CrossAttnDownBlock(
+            x, new_skips = DownBlock(
                 out_channels=out_ch,
                 num_layers=cfg.layers_per_block,
                 heads=cfg.num_attention_heads,
@@ -173,7 +190,7 @@ class UNet2DCondition(nn.Module):
             )(x, t_emb, context)
             skips.extend(new_skips)
 
-        x = UNetMidBlock(
+        x = MidBlock(
             cfg.block_out_channels[-1],
             heads=cfg.num_attention_heads,
             groups=cfg.norm_num_groups,
@@ -185,8 +202,11 @@ class UNet2DCondition(nn.Module):
 
         rev_channels = list(reversed(cfg.block_out_channels))
         rev_attn = list(reversed(cfg.attn_levels))
+        n_up = cfg.layers_per_block + 1
         for i, out_ch in enumerate(rev_channels):
-            x = CrossAttnUpBlock(
+            blk_skips = tuple(skips[-n_up:])
+            del skips[-n_up:]
+            x = UpBlock(
                 out_channels=out_ch,
                 num_layers=cfg.layers_per_block + 1,
                 heads=cfg.num_attention_heads,
@@ -197,7 +217,7 @@ class UNet2DCondition(nn.Module):
                 dtype=self.dtype,
                 attention_backend=self.attention_backend,
                 name=f"up_blocks_{i}",
-            )(x, skips, t_emb, context)
+            )(x, blk_skips, t_emb, context)
         assert not skips, "skip connection bookkeeping mismatch"
 
         x = nn.GroupNorm(

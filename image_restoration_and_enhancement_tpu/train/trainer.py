@@ -173,7 +173,9 @@ def train_task(
     logger.info("=== training %s -> %s ===", spec.name, output_dir)
     t_start = time.time()
 
-    modules = sampling.SDModules.create(spec.model_config, dtype=dtype)
+    # remat: fit 512px / larger batches (reference enables gradient
+    # checkpointing unconditionally, train_denoising.py:251-253)
+    modules = sampling.SDModules.create(spec.model_config, dtype=dtype, remat=True)
     rng = jax.random.PRNGKey(cfg.seed)
 
     if init_from and ckpt.pipeline_exists(init_from):

@@ -169,3 +169,29 @@ def test_load_tokenizer_fallback(tmp_path):
     tok = load_tokenizer(str(tmp_path), vocab_size=64)
     assert isinstance(tok, HashTokenizer)
     assert tok(["x"]).shape == (1, 77)
+
+
+def test_unet_remat_matches_no_remat():
+    """remat must not change outputs/grads or parameter naming."""
+    x = jnp.ones((1, 16, 16, 4)) * 0.1
+    t = jnp.array([3])
+    ctx = jnp.ones((1, 77, C.TINY_UNET.cross_attention_dim)) * 0.1
+    m0 = UNet2DCondition(C.TINY_UNET, attention_backend="xla", remat=False)
+    m1 = UNet2DCondition(C.TINY_UNET, attention_backend="xla", remat=True)
+    params = m0.init(jax.random.PRNGKey(0), x, t, ctx)
+    # identical param structure
+    s0 = jax.tree.structure(params)
+    s1 = jax.tree.structure(m1.init(jax.random.PRNGKey(0), x, t, ctx))
+    assert s0 == s1
+    out0 = m0.apply(params, x, t, ctx)
+    out1 = m1.apply(params, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1), atol=1e-5)
+
+    def loss(m, p):
+        return jnp.sum(m.apply(p, x, t, ctx) ** 2)
+
+    g0 = jax.grad(lambda p: loss(m0, p))(params)
+    g1 = jax.grad(lambda p: loss(m1, p))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        # recompute reorders float ops; parity is relative
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4)

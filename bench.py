@@ -28,6 +28,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the 512px scanned loop is expensive to build
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from image_restoration_and_enhancement_tpu import config as C
     from image_restoration_and_enhancement_tpu.core import sampling
 

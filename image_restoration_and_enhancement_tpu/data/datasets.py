@@ -85,6 +85,17 @@ class PairDataset:
         ]
         if not self.items:
             raise FileNotFoundError(f"No pairs under {base}")
+        # optional noise level from a `_sigma<float>` stem suffix
+        # (reference: train_denoising.py:67-72); None when absent
+        self.sigmas: List[Optional[float]] = []
+        for s in stems:
+            sigma = None
+            if "_sigma" in s:
+                try:
+                    sigma = float(s.split("_sigma")[-1])
+                except ValueError:
+                    pass
+            self.sigmas.append(sigma)
 
     def __len__(self) -> int:
         return len(self.items)

@@ -115,7 +115,12 @@ def run_validation(
     fn = cache[key]
 
     acc: Dict[str, List[float]] = {}
+    # per-sigma buckets when the val set carries `_sigma` filename suffixes
+    # (reference: train_denoising.py:446-455, :482-499)
+    sigmas = getattr(val_loader.ds, "sigmas", [])
+    sigma_buckets: Dict[int, Dict[str, List[float]]] = {}
     strip_saved = False
+    sample_idx = 0
     for bi, batch in enumerate(val_loader.epoch(0)):
         if bi >= max_batches:
             break
@@ -138,6 +143,13 @@ def run_validation(
             )
             for name, v in m.items():
                 acc.setdefault(name, []).append(float(v))
+            sigma = sigmas[sample_idx] if sample_idx < len(sigmas) else None
+            if sigma is not None:
+                bucket = sigma_buckets.setdefault(int(round(sigma)), {})
+                for name in ("psnr", "ssim", "psnr_y", "ssim_y"):
+                    if name in m:
+                        bucket.setdefault(name, []).append(float(m[name]))
+            sample_idx += 1
         if not strip_saved:
             strip_dir = os.path.join(output_dir, "val_samples")
             os.makedirs(strip_dir, exist_ok=True)
@@ -146,6 +158,13 @@ def run_validation(
                 batch["input"][0], np.asarray(out)[0], batch["gt"][0],
             )
             strip_saved = True
+    if sigma_buckets:
+        for sv in sorted(sigma_buckets):
+            b = sigma_buckets[sv]
+            logger.info(
+                "  sigma=%d: %s", sv,
+                {k: round(float(np.mean(v)), 4) for k, v in b.items()},
+            )
     return ValidationResult({k: float(np.mean(v)) for k, v in acc.items()})
 
 

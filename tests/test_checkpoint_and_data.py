@@ -273,3 +273,37 @@ def test_fid_from_features_orders_correctly(rng):
     near = fid_from_features(a, b)
     far = fid_from_features(a, c)
     assert 0 <= near < far
+
+
+def test_sigma_suffix_parsing(tmp_path):
+    rng = np.random.default_rng(0)
+    base = tmp_path / "pairs" / "denoise" / "val"
+    for kind in ("input", "gt"):
+        (base / kind).mkdir(parents=True)
+    for i, name in enumerate(["a_sigma6.5", "b_sigma12", "c"]):
+        img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(base / "input" / f"{name}.png")
+        Image.fromarray(img).save(base / "gt" / f"{name}.png")
+    ds = PairDataset("denoise", str(tmp_path / "pairs"), "val", image_size=16)
+    by_stem = dict(zip([os.path.basename(p[0]) for p in ds.items], ds.sigmas))
+    assert by_stem["a_sigma6.5.png"] == 6.5
+    assert by_stem["b_sigma12.png"] == 12.0
+    assert by_stem["c.png"] is None
+
+
+def test_metrics_calculator_api(rng):
+    from image_restoration_and_enhancement_tpu.metrics.calculator import (
+        MetricsCalculator,
+    )
+
+    calc = MetricsCalculator(use_lpips=True, use_fid=True)  # weights absent
+    a = (rng.random((24, 24, 3)) * 255).astype(np.uint8)
+    b = np.clip(a.astype(np.int32) + 10, 0, 255).astype(np.uint8)
+    out = calc.calculate_all(b, a)
+    assert 0 < out["psnr"] < 60
+    assert 0 < out["ssim"] <= 1
+    assert calc.calculate_lpips(b, a) is None  # gated off without weights
+    assert calc.calculate_delta_e(b, a) > 0
+    # mismatched sizes auto-resize
+    small = b[:12, :12]
+    assert calc.calculate_psnr(small, a) > 0

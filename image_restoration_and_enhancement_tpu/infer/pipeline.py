@@ -261,7 +261,19 @@ class RestorationPipeline:
                     spec.sampler.guidance_scale, spec.sampler.sampler,
                 ))
             except Exception:
-                logger.exception("SD super-resolution failed; LANCZOS fallback")
+                logger.exception("SD super-resolution failed; next backend")
+        # Real-ESRGAN-equivalent backend (RRDBNet), gated on imported weights
+        # (reference fallback order: SD -> Real-ESRGAN -> LANCZOS,
+        # src/inference.py:326-372)
+        if scale == 4:
+            try:
+                from ..models import rrdbnet
+
+                if rrdbnet.weights_available():
+                    out01 = rrdbnet.upscale_x4(img.astype(np.float32) / 255.0)
+                    return _to_pil((out01 * 255).astype(np.uint8))
+            except Exception:
+                logger.exception("RRDBNet upscaling failed; LANCZOS fallback")
         return _to_pil(fallbacks.sr_lanczos(img, scale))
 
     def colorize(self, image: ImageLike, prompt: Optional[str] = None, **kwargs) -> Image.Image:

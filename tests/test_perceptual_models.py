@@ -73,3 +73,28 @@ def test_inception_import_mapping_structure():
     assert tree["Conv2d_1a_3x3"]["bn_var"].shape == (32,)
     assert tree["Mixed_5b"]["branch1x1"]["conv"]["kernel"].shape == (1, 1, 192, 64)
     assert "fc" not in tree
+
+
+def test_rrdbnet_arch_and_import_mapping():
+    from image_restoration_and_enhancement_tpu.models.rrdbnet import (
+        RRDBNet,
+        import_rrdb_torch_state,
+    )
+
+    model = RRDBNet(num_blocks=2, features=8, growth=4)
+    x = jnp.zeros((1, 8, 8, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (1, 32, 32, 3)  # x4
+
+    state = {
+        "conv_first.weight": np.zeros((8, 3, 3, 3), np.float32),
+        "conv_first.bias": np.zeros(8, np.float32),
+        "body.0.rdb1.conv1.weight": np.zeros((4, 8, 3, 3), np.float32),
+        "body.0.rdb1.conv1.bias": np.zeros(4, np.float32),
+        "conv_last.weight": np.zeros((3, 8, 3, 3), np.float32),
+    }
+    tree = import_rrdb_torch_state(state)
+    assert tree["conv_first"]["kernel"].shape == (3, 3, 3, 8)
+    assert tree["body_0"]["rdb1"]["conv1"]["kernel"].shape == (3, 3, 8, 4)
+    assert tree["conv_last"]["kernel"].shape == (3, 3, 8, 3)

@@ -17,29 +17,50 @@ from typing import Optional, Tuple
 
 @dataclasses.dataclass(frozen=True)
 class UNetConfig:
-    """Config for the conditional UNet (reference: denoising/best/unet/config.json)."""
+    """Config for the conditional UNet (reference: denoising/best/unet/config.json;
+    SDXL variant per the reference trainer's SDXL branch, train_denoising.py:531-594)."""
 
     in_channels: int = 4
     out_channels: int = 4
     block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
     layers_per_block: int = 2
     # Diffusers SD1.5 quirk: `attention_head_dim: 8` actually means 8 *heads*
-    # per attention layer (head_dim = channels // 8 = 40/80/160).
-    num_attention_heads: int = 8
+    # per attention layer (head_dim = channels // 8 = 40/80/160). SDXL uses
+    # a per-level tuple (5, 10, 20) with head_dim 64.
+    num_attention_heads: int | Tuple[int, ...] = 8
     cross_attention_dim: int = 768
     norm_num_groups: int = 32
     norm_eps: float = 1e-5
-    transformer_layers_per_block: int = 1
+    # transformer depth per cross-attn level; SD1.5: 1, SDXL: (1, 2, 10)
+    transformer_layers_per_block: int | Tuple[int, ...] = 1
     # Which resolution levels carry cross-attention transformers. SD1.5:
     # down = (CrossAttn, CrossAttn, CrossAttn, Plain), up mirrored.
+    # SDXL: (Plain, CrossAttn, CrossAttn).
     attn_levels: Tuple[bool, ...] = (True, True, True, False)
     freq_shift: int = 0
     flip_sin_to_cos: bool = True
     sample_size: int = 64
+    # SDXL additive conditioning: pooled text embeds + micro-conditioning
+    # time ids, projected and added to the timestep embedding.
+    addition_embed_type: Optional[str] = None  # None | "text_time"
+    addition_time_embed_dim: int = 256
+    projection_class_embeddings_input_dim: int = 2816
+    # SDXL Transformer2D uses Dense spatial projections instead of 1x1 convs
+    use_linear_projection: bool = False
 
     @property
     def time_embed_dim(self) -> int:
         return self.block_out_channels[0] * 4
+
+    def heads_at(self, level: int) -> int:
+        if isinstance(self.num_attention_heads, tuple):
+            return self.num_attention_heads[level]
+        return self.num_attention_heads
+
+    def tx_depth_at(self, level: int) -> int:
+        if isinstance(self.transformer_layers_per_block, tuple):
+            return self.transformer_layers_per_block[level]
+        return self.transformer_layers_per_block
 
 
 @dataclasses.dataclass(frozen=True)
@@ -103,6 +124,33 @@ SD15_VAE = VAEConfig()
 CLIP_VIT_L_TEXT = CLIPTextConfig()
 SD15_SCHEDULER = SchedulerConfig()
 
+# SDXL base: the reference trainer's --base_model SDXL branch
+# (train_denoising.py:531-594). 3 levels, transformer depth (1,2,10),
+# head_dim 64 (heads 5/10/20), dual-text cross dim 2048, text_time
+# additive conditioning (pooled 1280 + 6x256 time ids -> 2816).
+SDXL_UNET = UNetConfig(
+    block_out_channels=(320, 640, 1280),
+    layers_per_block=2,
+    num_attention_heads=(5, 10, 20),
+    transformer_layers_per_block=(1, 2, 10),
+    attn_levels=(False, True, True),
+    cross_attention_dim=2048,
+    addition_embed_type="text_time",
+    addition_time_embed_dim=256,
+    projection_class_embeddings_input_dim=2816,
+    use_linear_projection=True,
+    sample_size=128,
+)
+# OpenCLIP ViT-bigG/14 text tower (SDXL's second encoder)
+OPENCLIP_BIGG_TEXT = CLIPTextConfig(
+    vocab_size=49408,
+    hidden_size=1280,
+    intermediate_size=5120,
+    num_hidden_layers=32,
+    num_attention_heads=20,
+    hidden_act="gelu",
+)
+
 # Tiny configs for CPU tests: same topology, minimal widths.
 TINY_UNET = UNetConfig(
     block_out_channels=(8, 16, 16, 16),
@@ -118,6 +166,20 @@ TINY_VAE = VAEConfig(
     layers_per_block=1,
     norm_num_groups=4,
     sample_size=32,
+)
+TINY_SDXL_UNET = UNetConfig(
+    block_out_channels=(8, 16, 16),
+    layers_per_block=1,
+    num_attention_heads=(2, 2, 2),
+    transformer_layers_per_block=(1, 1, 2),
+    attn_levels=(False, True, True),
+    cross_attention_dim=16,
+    norm_num_groups=4,
+    addition_embed_type="text_time",
+    addition_time_embed_dim=4,
+    projection_class_embeddings_input_dim=8 + 6 * 4,  # pooled 8 + 6 ids x 4
+    use_linear_projection=True,
+    sample_size=8,
 )
 TINY_CLIP_TEXT = CLIPTextConfig(
     vocab_size=128,

@@ -68,13 +68,20 @@ class CLIPEncoderLayer(nn.Module):
 
 
 class CLIPTextModel(nn.Module):
-    """Token ids [B, 77] (int32) -> last_hidden_state [B, 77, hidden]."""
+    """Token ids [B, 77] (int32) -> last_hidden_state [B, 77, hidden].
+
+    With `return_dict=True` also returns the penultimate hidden states and
+    the (optionally projected) EOS-pooled embedding — what SDXL consumes
+    from its two text towers (reference SDXL branch,
+    train_denoising.py:531-594). Set `with_projection=True` for the
+    OpenCLIP-bigG tower's text_projection."""
 
     config: CLIPTextConfig = CLIPTextConfig()
     dtype: jnp.dtype = jnp.float32
+    with_projection: bool = False
 
     @nn.compact
-    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, input_ids: jnp.ndarray, return_dict: bool = False):
         cfg = self.config
         b, n = input_ids.shape
         tok_emb = nn.Embed(
@@ -88,7 +95,24 @@ class CLIPTextModel(nn.Module):
         x = tok_emb + pos_emb[None, :n].astype(self.dtype)
 
         causal = jnp.triu(jnp.full((n, n), -1e9, dtype=jnp.float32), k=1)[None, None]
+        penultimate = None
         for i in range(cfg.num_hidden_layers):
             x = CLIPEncoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")(x, causal)
+            if i == cfg.num_hidden_layers - 2:
+                penultimate = x.astype(jnp.float32)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="final_layer_norm")(x)
-        return x.astype(jnp.float32)
+        last = x.astype(jnp.float32)
+        if not return_dict:
+            return last
+        # EOS-pooled embedding (first eos position per sequence)
+        eos_pos = jnp.argmax((input_ids == cfg.eos_token_id).astype(jnp.int32), axis=-1)
+        pooled = last[jnp.arange(b), eos_pos]
+        if self.with_projection:
+            pooled = nn.Dense(
+                cfg.hidden_size, use_bias=False, dtype=self.dtype, name="text_projection"
+            )(pooled.astype(self.dtype)).astype(jnp.float32)
+        return {
+            "last_hidden_state": last,
+            "penultimate_hidden_state": penultimate,
+            "pooled": pooled,
+        }

@@ -171,8 +171,11 @@ class BasicTransformerBlock(nn.Module):
 
 
 class Transformer2D(nn.Module):
-    """Spatial transformer: GroupNorm, 1x1 proj in, token-space transformer
-    blocks with text cross-attention, 1x1 proj out, residual."""
+    """Spatial transformer: GroupNorm, proj in, token-space transformer
+    blocks with text cross-attention, proj out, residual.
+
+    use_linear_projection: SD1.5 projects with 1x1 convs; SDXL with Dense
+    layers applied after flattening (diffusers parity)."""
 
     heads: int
     head_dim: int
@@ -180,6 +183,7 @@ class Transformer2D(nn.Module):
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
     attention_backend: Optional[str] = None
+    use_linear_projection: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
@@ -187,16 +191,24 @@ class Transformer2D(nn.Module):
         residual = x
         x = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
         x = x.astype(self.dtype)
-        x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(x)
-        x = x.reshape(b, h * w, c)
+        if self.use_linear_projection:
+            x = x.reshape(b, h * w, c)
+            x = nn.Dense(c, dtype=self.dtype, name="proj_in")(x)
+        else:
+            x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(x)
+            x = x.reshape(b, h * w, c)
         for i in range(self.depth):
             x = BasicTransformerBlock(
                 self.heads, self.head_dim, dtype=self.dtype,
                 attention_backend=self.attention_backend,
                 name=f"transformer_blocks_{i}",
             )(x, context)
-        x = x.reshape(b, h, w, c)
-        x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+        if self.use_linear_projection:
+            x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+            x = x.reshape(b, h, w, c)
+        else:
+            x = x.reshape(b, h, w, c)
+            x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
         return x + residual
 
 

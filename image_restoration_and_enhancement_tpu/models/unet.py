@@ -10,8 +10,10 @@ Differences from the torch original are deliberate TPU choices:
 - NHWC activations end-to-end (XLA conv-friendly), bf16 compute with fp32
   GroupNorm/LayerNorm statistics.
 - Attention runs on the Pallas fused-attention kernel (ops/attention.py).
-- No config branches the reference never exercises (SD-XL additive
-  embeddings etc. live in the SDXL path of the trainer, not the model).
+- The SDXL variant (per-level transformer depth/heads, linear spatial
+  projections, "text_time" additive conditioning) is the same module under
+  a different UNetConfig — covering the reference trainer's SDXL branch
+  (train_denoising.py:531-594).
 """
 from __future__ import annotations
 
@@ -42,6 +44,8 @@ class CrossAttnDownBlock(nn.Module):
     add_downsample: bool
     dtype: jnp.dtype
     attention_backend: Optional[str] = None
+    tx_depth: int = 1
+    use_linear_projection: bool = False
 
     @nn.compact
     def __call__(self, x, t_emb, context):
@@ -54,8 +58,10 @@ class CrossAttnDownBlock(nn.Module):
             )(x, t_emb)
             if self.has_attn:
                 x = Transformer2D(
-                    self.heads, head_dim, groups=self.groups, dtype=self.dtype,
-                    attention_backend=self.attention_backend, name=f"attentions_{i}",
+                    self.heads, head_dim, depth=self.tx_depth, groups=self.groups,
+                    dtype=self.dtype, attention_backend=self.attention_backend,
+                    use_linear_projection=self.use_linear_projection,
+                    name=f"attentions_{i}",
                 )(x, context)
             skips.append(x)
         if self.add_downsample:
@@ -71,6 +77,8 @@ class UNetMidBlock(nn.Module):
     eps: float
     dtype: jnp.dtype
     attention_backend: Optional[str] = None
+    tx_depth: int = 1
+    use_linear_projection: bool = False
 
     @nn.compact
     def __call__(self, x, t_emb, context):
@@ -79,8 +87,10 @@ class UNetMidBlock(nn.Module):
             name="resnets_0",
         )(x, t_emb)
         x = Transformer2D(
-            self.heads, self.channels // self.heads, groups=self.groups,
-            dtype=self.dtype, attention_backend=self.attention_backend,
+            self.heads, self.channels // self.heads, depth=self.tx_depth,
+            groups=self.groups, dtype=self.dtype,
+            attention_backend=self.attention_backend,
+            use_linear_projection=self.use_linear_projection,
             name="attentions_0",
         )(x, context)
         x = ResnetBlock2D(
@@ -100,6 +110,8 @@ class CrossAttnUpBlock(nn.Module):
     add_upsample: bool
     dtype: jnp.dtype
     attention_backend: Optional[str] = None
+    tx_depth: int = 1
+    use_linear_projection: bool = False
 
     @nn.compact
     def __call__(self, x, skips: Tuple[jnp.ndarray, ...], t_emb, context):
@@ -117,8 +129,10 @@ class CrossAttnUpBlock(nn.Module):
             )(x, t_emb)
             if self.has_attn:
                 x = Transformer2D(
-                    self.heads, head_dim, groups=self.groups, dtype=self.dtype,
-                    attention_backend=self.attention_backend, name=f"attentions_{i}",
+                    self.heads, head_dim, depth=self.tx_depth, groups=self.groups,
+                    dtype=self.dtype, attention_backend=self.attention_backend,
+                    use_linear_projection=self.use_linear_projection,
+                    name=f"attentions_{i}",
                 )(x, context)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, dtype=self.dtype, name="upsamplers_0")(x)
@@ -146,7 +160,11 @@ class UNet2DCondition(nn.Module):
         sample: jnp.ndarray,
         timesteps: jnp.ndarray,
         encoder_hidden_states: jnp.ndarray,
+        added_cond: Optional[dict] = None,
     ) -> jnp.ndarray:
+        """added_cond (SDXL only): {"text_embeds": [B, pooled_dim],
+        "time_ids": [B, 6]} — the additive micro-conditioning the reference
+        trainer assembles in its SDXL branch (train_denoising.py:531-594)."""
         cfg = self.config
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
@@ -159,6 +177,22 @@ class UNet2DCondition(nn.Module):
         t_emb = TimestepEmbedding(
             cfg.time_embed_dim, dtype=self.dtype, name="time_embedding"
         )(t_emb.astype(self.dtype))
+
+        if cfg.addition_embed_type == "text_time":
+            assert added_cond is not None, "SDXL config requires added_cond"
+            time_ids = added_cond["time_ids"]  # [B, 6]
+            b, n_ids = time_ids.shape
+            id_emb = timestep_embedding(
+                time_ids.reshape(-1), cfg.addition_time_embed_dim,
+                flip_sin_to_cos=cfg.flip_sin_to_cos, freq_shift=cfg.freq_shift,
+            ).reshape(b, n_ids * cfg.addition_time_embed_dim)
+            add_emb = jnp.concatenate(
+                [added_cond["text_embeds"].astype(jnp.float32), id_emb], axis=-1
+            )
+            aug = TimestepEmbedding(
+                cfg.time_embed_dim, dtype=self.dtype, name="add_embedding"
+            )(add_emb.astype(self.dtype))
+            t_emb = t_emb + aug
 
         x = sample.astype(self.dtype)
         x = nn.Conv(
@@ -179,24 +213,28 @@ class UNet2DCondition(nn.Module):
             x, new_skips = DownBlock(
                 out_channels=out_ch,
                 num_layers=cfg.layers_per_block,
-                heads=cfg.num_attention_heads,
+                heads=cfg.heads_at(i),
                 groups=cfg.norm_num_groups,
                 eps=cfg.norm_eps,
                 has_attn=cfg.attn_levels[i],
                 add_downsample=i < n_levels - 1,
                 dtype=self.dtype,
                 attention_backend=self.attention_backend,
+                tx_depth=cfg.tx_depth_at(i),
+                use_linear_projection=cfg.use_linear_projection,
                 name=f"down_blocks_{i}",
             )(x, t_emb, context)
             skips.extend(new_skips)
 
         x = MidBlock(
             cfg.block_out_channels[-1],
-            heads=cfg.num_attention_heads,
+            heads=cfg.heads_at(n_levels - 1),
             groups=cfg.norm_num_groups,
             eps=cfg.norm_eps,
             dtype=self.dtype,
             attention_backend=self.attention_backend,
+            tx_depth=cfg.tx_depth_at(n_levels - 1),
+            use_linear_projection=cfg.use_linear_projection,
             name="mid_block",
         )(x, t_emb, context)
 
@@ -206,16 +244,19 @@ class UNet2DCondition(nn.Module):
         for i, out_ch in enumerate(rev_channels):
             blk_skips = tuple(skips[-n_up:])
             del skips[-n_up:]
+            level = n_levels - 1 - i  # mirror of the down level
             x = UpBlock(
                 out_channels=out_ch,
                 num_layers=cfg.layers_per_block + 1,
-                heads=cfg.num_attention_heads,
+                heads=cfg.heads_at(level),
                 groups=cfg.norm_num_groups,
                 eps=cfg.norm_eps,
                 has_attn=rev_attn[i],
                 add_upsample=i < n_levels - 1,
                 dtype=self.dtype,
                 attention_backend=self.attention_backend,
+                tx_depth=cfg.tx_depth_at(level),
+                use_linear_projection=cfg.use_linear_projection,
                 name=f"up_blocks_{i}",
             )(x, blk_skips, t_emb, context)
         assert not skips, "skip connection bookkeeping mismatch"

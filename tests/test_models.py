@@ -195,3 +195,70 @@ def test_unet_remat_matches_no_remat():
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         # recompute reorders float ops; parity is relative
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4)
+
+
+def test_tiny_sdxl_unet_forward():
+    """SDXL-style config: per-level depth/heads, linear projections,
+    text_time additive conditioning."""
+    cfg = C.TINY_SDXL_UNET
+    model = UNet2DCondition(cfg, attention_backend="xla")
+    x = jnp.zeros((2, 16, 16, 4))
+    t = jnp.array([10, 20])
+    ctx = jnp.zeros((2, 77, cfg.cross_attention_dim))
+    added = {
+        "text_embeds": jnp.zeros((2, 8)),
+        "time_ids": jnp.zeros((2, 6)),
+    }
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx, added)
+    out = model.apply(params, x, t, ctx, added)
+    assert out.shape == (2, 16, 16, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    flat = set()
+
+    def rec(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                rec(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            flat.add(prefix)
+
+    rec("", params["params"])
+    assert any(p.startswith("add_embedding/") for p in flat)
+    # level 0 has no attention; level 2 has depth-2 transformers
+    assert not any("down_blocks_0/attentions" in p for p in flat)
+    assert any("down_blocks_2/attentions_0/transformer_blocks_1" in p for p in flat)
+    # conditioning actually matters
+    added2 = {"text_embeds": jnp.ones((2, 8)), "time_ids": added["time_ids"]}
+    out2 = model.apply(params, x, t, ctx, added2)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_sdxl_full_param_count():
+    """Full SDXL base UNet must build with the published parameter count."""
+    model = UNet2DCondition(C.SDXL_UNET, attention_backend="xla")
+    shapes = jax.eval_shape(
+        lambda k: model.init(
+            k,
+            jnp.zeros((1, 32, 32, 4)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, 2048)),
+            {"text_embeds": jnp.zeros((1, 1280)), "time_ids": jnp.zeros((1, 6))},
+        ),
+        jax.random.PRNGKey(0),
+    )
+    # diffusers SDXL base UNet: 2,567,463,684 params
+    assert _param_count(shapes) == 2_567_463_684
+
+
+def test_clip_return_dict_pooled():
+    cfg = C.TINY_CLIP_TEXT
+    model = CLIPTextModel(cfg, with_projection=True)
+    ids = jnp.full((2, 77), cfg.pad_token_id, jnp.int32)
+    ids = ids.at[:, 0].set(cfg.bos_token_id)
+    ids = ids.at[0, 3].set(cfg.eos_token_id)
+    ids = ids.at[1, 5].set(cfg.eos_token_id)
+    params = model.init(jax.random.PRNGKey(0), ids, return_dict=True)
+    out = model.apply(params, ids, return_dict=True)
+    assert out["last_hidden_state"].shape == (2, 77, cfg.hidden_size)
+    assert out["penultimate_hidden_state"].shape == (2, 77, cfg.hidden_size)
+    assert out["pooled"].shape == (2, cfg.hidden_size)

@@ -41,7 +41,10 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "3"))
 
     platform = jax.devices()[0].platform
-    modules = sampling.SDModules.create(C.SD15, dtype=jnp.bfloat16)
+    attn_backend = os.environ.get("BENCH_ATTN") or None
+    modules = sampling.SDModules.create(
+        C.SD15, dtype=jnp.bfloat16, attention_backend=attn_backend
+    )
     params = sampling.init_params(modules, jax.random.PRNGKey(0), image_size=size)
     # Serving-grade weights: bf16 resident (halves HBM traffic on the
     # bandwidth-bound UNet).

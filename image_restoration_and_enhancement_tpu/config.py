@@ -196,17 +196,34 @@ TINY_CLIP_TEXT = CLIPTextConfig(
 
 @dataclasses.dataclass(frozen=True)
 class SDModelConfig:
-    """Bundle of the full Stable-Diffusion model stack for one task."""
+    """Bundle of the full Stable-Diffusion model stack for one task.
+
+    text_encoder_2 is the SDXL dual-tower second encoder (OpenCLIP bigG);
+    None for SD1.x stacks."""
 
     unet: UNetConfig = SD15_UNET
     vae: VAEConfig = SD15_VAE
     text_encoder: CLIPTextConfig = CLIP_VIT_L_TEXT
     scheduler: SchedulerConfig = SD15_SCHEDULER
+    text_encoder_2: Optional[CLIPTextConfig] = None
 
 
 SD15 = SDModelConfig()
 SD15_INPAINT = SDModelConfig(unet=SD15_INPAINT_UNET)
+SDXL_VAE = dataclasses.replace(SD15_VAE, scaling_factor=0.13025)
+SDXL = SDModelConfig(
+    unet=SDXL_UNET,
+    vae=SDXL_VAE,
+    text_encoder=CLIP_VIT_L_TEXT,
+    text_encoder_2=OPENCLIP_BIGG_TEXT,
+)
 TINY_SD = SDModelConfig(unet=TINY_UNET, vae=TINY_VAE, text_encoder=TINY_CLIP_TEXT)
 TINY_SD_INPAINT = SDModelConfig(
     unet=TINY_INPAINT_UNET, vae=TINY_VAE, text_encoder=TINY_CLIP_TEXT
+)
+TINY_SDXL_TEXT2 = dataclasses.replace(TINY_CLIP_TEXT, hidden_size=8, num_attention_heads=2, intermediate_size=16)
+TINY_SDXL = SDModelConfig(
+    unet=TINY_SDXL_UNET, vae=TINY_VAE,
+    # context dim = 8 (L tower penultimate) + 8 (bigG penultimate) = 16
+    text_encoder=TINY_SDXL_TEXT2, text_encoder_2=TINY_SDXL_TEXT2,
 )

@@ -87,7 +87,7 @@ def load_params(path: str):
 # Pipeline directory layout
 # ---------------------------------------------------------------------------
 
-_COMPONENTS = ("unet", "vae", "text_encoder")
+_COMPONENTS = ("unet", "vae", "text_encoder", "text_encoder_2")
 
 
 def save_pipeline(

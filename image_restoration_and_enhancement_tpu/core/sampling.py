@@ -42,6 +42,11 @@ class SDModules:
     unet: UNet2DCondition
     vae: AutoencoderKL
     text_encoder: CLIPTextModel
+    text_encoder_2: Optional[CLIPTextModel] = None
+
+    @property
+    def is_sdxl(self) -> bool:
+        return self.config.unet.addition_embed_type == "text_time"
 
     @classmethod
     def create(
@@ -51,6 +56,9 @@ class SDModules:
         attention_backend: Optional[str] = None,
         remat: bool = False,
     ) -> "SDModules":
+        te2 = None
+        if config.text_encoder_2 is not None:
+            te2 = CLIPTextModel(config.text_encoder_2, dtype=dtype, with_projection=True)
         return cls(
             config=config,
             unet=UNet2DCondition(
@@ -59,12 +67,37 @@ class SDModules:
             ),
             vae=AutoencoderKL(config.vae, dtype=dtype),
             text_encoder=CLIPTextModel(config.text_encoder, dtype=dtype),
+            text_encoder_2=te2,
         )
 
 
 def encode_text(modules: SDModules, params, input_ids: jnp.ndarray) -> jnp.ndarray:
     """Token ids [B, 77] -> conditioning [B, 77, hidden]."""
     return modules.text_encoder.apply({"params": params["text_encoder"]}, input_ids)
+
+
+def encode_text_sdxl(
+    modules: SDModules, params, input_ids: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """SDXL dual-tower conditioning: concat of both towers' penultimate
+    hidden states [B, 77, d1+d2] plus the bigG pooled embedding [B, d2]
+    (reference SDXL branch, train_denoising.py:531-594)."""
+    out1 = modules.text_encoder.apply(
+        {"params": params["text_encoder"]}, input_ids, return_dict=True
+    )
+    out2 = modules.text_encoder_2.apply(
+        {"params": params["text_encoder_2"]}, input_ids, return_dict=True
+    )
+    context = jnp.concatenate(
+        [out1["penultimate_hidden_state"], out2["penultimate_hidden_state"]], axis=-1
+    )
+    return context, out2["pooled"]
+
+
+def sdxl_time_ids(batch: int, size: int) -> jnp.ndarray:
+    """Micro-conditioning ids: (orig_h, orig_w, crop_t, crop_l, tgt_h, tgt_w)."""
+    row = jnp.asarray([size, size, 0, 0, size, size], jnp.float32)
+    return jnp.broadcast_to(row, (batch, 6))
 
 
 def encode_image(
@@ -96,11 +129,14 @@ def _denoise_loop(
     guidance_scale: float,
     sampler: str,
     extra_channels: Optional[jnp.ndarray] = None,
+    added_cond: Optional[dict] = None,
 ) -> jnp.ndarray:
     """Run the full sampling loop as one lax.scan.
 
     extra_channels: per-step constant channels concatenated to the latents
     (the inpaint mask + masked-image latents, diffusers 9-ch layout).
+    added_cond: SDXL additive conditioning {"text_embeds", "time_ids"},
+    batch-matched to `latents` (duplicated internally under CFG).
     """
     cfg = modules.config.scheduler
     ac = jnp.asarray(sched.make_alphas_cumprod(cfg), dtype=jnp.float32)
@@ -117,6 +153,16 @@ def _denoise_loop(
     else:
         ctx_all = context
 
+    added_all = None
+    if added_cond is not None:
+        added_all = jax.tree.map(
+            lambda v: jnp.broadcast_to(v, (b,) + v.shape[1:]), added_cond
+        )
+        if do_cfg:
+            added_all = jax.tree.map(
+                lambda v: jnp.concatenate([v, v], axis=0), added_all
+            )
+
     def unet_eps(lat: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
         model_in = lat
         if extra_channels is not None:
@@ -128,6 +174,7 @@ def _denoise_loop(
             model_in,
             jnp.broadcast_to(t, (model_in.shape[0],)),
             ctx_all,
+            added_all,
         )
         if do_cfg:
             eps_u, eps_c = jnp.split(eps, 2, axis=0)
@@ -175,8 +222,9 @@ def make_img2img_fn(
 ) -> Callable:
     """Build fn(params, image, prompt_ctx, uncond_ctx, key) -> image.
 
-    `image` NHWC in [-1, 1]; contexts from encode_text. Deterministic given
-    the key (the reference fixes seed 42, src/inference.py:483).
+    `image` NHWC in [-1, 1]; contexts from encode_text — or, for SDXL
+    stacks, (context, pooled) tuples from encode_text_sdxl. Deterministic
+    given the key (the reference fixes seed 42, src/inference.py:483).
     """
     cfg = modules.config.scheduler
     plan_fn = sched.plms_step_plan if sampler == "plms" else sched.ddim_step_plan
@@ -184,13 +232,24 @@ def make_img2img_fn(
     ac = jnp.asarray(sched.make_alphas_cumprod(cfg), dtype=jnp.float32)
 
     def fn(params, image, prompt_ctx, uncond_ctx, key):
+        added = None
+        if modules.is_sdxl:
+            prompt_ctx, pooled = prompt_ctx
+            if uncond_ctx is not None:
+                # CFG halves share micro-conditioning; pooled embeds differ
+                # between uncond/cond only via the context stack below.
+                uncond_ctx, _ = uncond_ctx
+            added = {
+                "text_embeds": pooled,
+                "time_ids": sdxl_time_ids(pooled.shape[0], image.shape[1]),
+            }
         k_enc, k_noise = jax.random.split(key)
         latents0 = encode_image(modules, params, image, k_enc)
         noise = jax.random.normal(k_noise, latents0.shape, jnp.float32)
         latents = sched.add_noise(ac, latents0, noise, jnp.asarray(plan.init_timestep))
         latents = _denoise_loop(
             modules, params, latents, prompt_ctx, uncond_ctx, plan,
-            guidance_scale, sampler,
+            guidance_scale, sampler, added_cond=added,
         )
         return decode_latents(modules, params, latents)
 
@@ -247,20 +306,33 @@ def make_inpaint_fn(
 def init_params(
     modules: SDModules, key: jax.Array, image_size: int = 256, seq_len: int = 77
 ):
-    """Random-init the full parameter bundle {unet, vae, text_encoder}."""
-    k1, k2, k3 = jax.random.split(key, 3)
+    """Random-init the full parameter bundle {unet, vae, text_encoder[,_2]}."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     lat = image_size // 8
-    ctx_dim = modules.config.unet.cross_attention_dim
+    ucfg = modules.config.unet
+    added = None
+    if modules.is_sdxl:
+        pooled_dim = modules.config.text_encoder_2.hidden_size
+        added = {
+            "text_embeds": jnp.zeros((1, pooled_dim)),
+            "time_ids": jnp.zeros((1, 6)),
+        }
     unet_vars = modules.unet.init(
         k1,
-        jnp.zeros((1, lat, lat, modules.config.unet.in_channels)),
+        jnp.zeros((1, lat, lat, ucfg.in_channels)),
         jnp.zeros((1,), jnp.int32),
-        jnp.zeros((1, seq_len, ctx_dim)),
+        jnp.zeros((1, seq_len, ucfg.cross_attention_dim)),
+        added,
     )
     vae_vars = modules.vae.init(k2, jnp.zeros((1, 16, 16, modules.config.vae.in_channels)))
     te_vars = modules.text_encoder.init(k3, jnp.zeros((1, seq_len), jnp.int32))
-    return {
+    out = {
         "unet": unet_vars["params"],
         "vae": vae_vars["params"],
         "text_encoder": te_vars["params"],
     }
+    if modules.text_encoder_2 is not None:
+        out["text_encoder_2"] = modules.text_encoder_2.init(
+            k4, jnp.zeros((1, seq_len), jnp.int32), return_dict=True
+        )["params"]
+    return out

@@ -56,12 +56,10 @@ class CLIPEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, causal_mask: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
-        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm1")(x)
-        x = x + CLIPAttention(cfg, dtype=self.dtype, name="self_attn")(
-            h.astype(self.dtype), causal_mask
-        )
-        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm2")(x)
-        h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="fc1")(h.astype(self.dtype))
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="layer_norm1")(x)
+        x = x + CLIPAttention(cfg, dtype=self.dtype, name="self_attn")(h, causal_mask)
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="layer_norm2")(x)
+        h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="fc1")(h)
         h = _quick_gelu(h) if cfg.hidden_act == "quick_gelu" else nn.gelu(h)
         h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fc2")(h)
         return x + h

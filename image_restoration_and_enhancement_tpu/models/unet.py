@@ -262,8 +262,8 @@ class UNet2DCondition(nn.Module):
         assert not skips, "skip connection bookkeeping mismatch"
 
         x = nn.GroupNorm(
-            cfg.norm_num_groups, epsilon=cfg.norm_eps, dtype=jnp.float32, name="conv_norm_out"
+            cfg.norm_num_groups, epsilon=cfg.norm_eps, dtype=self.dtype, name="conv_norm_out"
         )(x)
-        x = nn.silu(x).astype(self.dtype)
+        x = nn.silu(x)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
         return x.astype(jnp.float32)

@@ -118,8 +118,8 @@ class Encoder(nn.Module):
             cfg.block_out_channels[-1], cfg.norm_num_groups,
             cfg.mid_block_add_attention, dtype=self.dtype, name="mid_block",
         )(x)
-        x = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, dtype=jnp.float32, name="conv_norm_out")(x)
-        x = nn.silu(x).astype(self.dtype)
+        x = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(x)
+        x = nn.silu(x)
         return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
 
 
@@ -143,8 +143,8 @@ class Decoder(nn.Module):
                 ch, cfg.layers_per_block + 1, cfg.norm_num_groups,
                 add_upsample=i < n - 1, dtype=self.dtype, name=f"up_blocks_{i}",
             )(x)
-        x = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, dtype=jnp.float32, name="conv_norm_out")(x)
-        x = nn.silu(x).astype(self.dtype)
+        x = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(x)
+        x = nn.silu(x)
         return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
 
 

@@ -134,8 +134,23 @@ def make_loss_fn(
             # the masked-image slot.
             model_input = jnp.concatenate([model_input, mask_lat, input_latents], axis=-1)
 
-        ctx = jnp.broadcast_to(context, (b,) + context.shape[1:])
-        eps_pred = modules.unet.apply({"params": unet_params}, model_input, t, ctx)
+        # SDXL stacks condition on (context, pooled) plus time ids
+        # (reference SDXL branch, train_denoising.py:531-594).
+        added = None
+        if isinstance(context, tuple):
+            context_arr, pooled = context
+            from ..core.sampling import sdxl_time_ids
+
+            added = {
+                "text_embeds": jnp.broadcast_to(pooled, (b,) + pooled.shape[1:]),
+                "time_ids": sdxl_time_ids(b, gt.shape[1]),
+            }
+        else:
+            context_arr = context
+        ctx = jnp.broadcast_to(context_arr, (b,) + context_arr.shape[1:])
+        eps_pred = modules.unet.apply(
+            {"params": unet_params}, model_input, t, ctx, added
+        )
 
         mse = jnp.mean((eps_pred - noise) ** 2)
         metrics = {"mse": mse}

@@ -226,10 +226,13 @@ def train_task(
     step_fn = make_train_step(modules, spec, cfg, mesh=mesh)
 
     tokenizer = load_tokenizer(init_from, vocab_size=spec.model_config.text_encoder.vocab_size)
-    context = sampling.encode_text(modules, params, jnp.asarray(tokenizer([spec.prompt])))
+    encode = (
+        sampling.encode_text_sdxl if modules.is_sdxl else sampling.encode_text
+    )
+    context = encode(modules, params, jnp.asarray(tokenizer([spec.prompt])))
     vs = spec.val_sampler or spec.sampler
     uncond = (
-        sampling.encode_text(modules, params, jnp.asarray(tokenizer([""])))
+        encode(modules, params, jnp.asarray(tokenizer([""])))
         if vs.guidance_scale > 1.0
         else None
     )

@@ -173,11 +173,14 @@ def attention(
     """Multi-head attention, [B, N, H, D]. backend: None|"pallas"|"xla".
 
     None selects the Pallas kernel on TPU for large sequence lengths (where
-    it beats XLA; measured on v5e the crossover is ~2k query tokens) and the
-    XLA path elsewhere.
+    it beats XLA; measured on v5e the crossover is ~2k query tokens, tunable
+    via IRET_ATTN_PALLAS_MIN) and the XLA path elsewhere.
     """
     if backend is None:
-        backend = "pallas" if (_on_tpu() and q.shape[1] >= 2048) else "xla"
+        import os
+
+        min_n = int(os.environ.get("IRET_ATTN_PALLAS_MIN", "2048"))
+        backend = "pallas" if (_on_tpu() and q.shape[1] >= min_n) else "xla"
     if backend == "pallas":
         return _attention_tpu(q, k, v)
     if backend == "xla":

@@ -57,6 +57,14 @@ class TrainConfig:
     seed: int = 42
     save_steps: int = 500
     stop_image_grad: bool = False  # True = reproduce the reference's no-grad L1
+    # "adamw" = reference recipe (needs ~10GB optimizer state for the 860M
+    # UNet in fp32); "adafactor" = factored second moments, the memory-lean
+    # choice for single 16GB chips (fits 256px batch 8 with remat).
+    optimizer: str = "adamw"
+    # NaN/Inf skip: "apply_if_finite" (exact reference semantics, costs a
+    # zeros/select temp per param) or "zero_grads" (lighter: non-finite
+    # grads are zeroed, optimizer still steps with zero gradient).
+    nan_guard: str = "apply_if_finite"
 
 
 class TrainState(train_state.TrainState):
@@ -71,16 +79,24 @@ def make_optimizer(cfg: TrainConfig, num_train_steps: int) -> optax.GradientTran
         decay_steps=max(2, num_train_steps),
         end_value=0.0,
     )
-    tx = optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(
+    if cfg.optimizer == "adamw":
+        opt = optax.adamw(
             schedule, b1=cfg.adam_b1, b2=cfg.adam_b2, weight_decay=cfg.weight_decay
-        ),
-    )
+        )
+    elif cfg.optimizer == "adafactor":
+        opt = optax.adafactor(schedule)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer}")
+    parts = [optax.clip_by_global_norm(cfg.max_grad_norm), opt]
+    if cfg.nan_guard == "zero_grads":
+        parts.insert(0, optax.zero_nans())
+    tx = optax.chain(*parts)
     if cfg.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
-    # Skip updates on non-finite grads (reference NaN/Inf loss skip).
-    return optax.apply_if_finite(tx, max_consecutive_errors=10_000)
+    if cfg.nan_guard == "apply_if_finite":
+        # Skip updates on non-finite grads (reference NaN/Inf loss skip).
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=10_000)
+    return tx
 
 
 def create_train_state(

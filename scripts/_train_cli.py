@@ -33,6 +33,11 @@ def build_parser(task: str, default_output: str) -> argparse.ArgumentParser:
     p.add_argument("--max_val_samples", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no_mesh", action="store_true", help="Disable data-parallel mesh")
+    p.add_argument("--optimizer", default="adamw", choices=["adamw", "adafactor"],
+                   help="adamw = reference recipe; adafactor = memory-lean "
+                        "(fits single 16GB chips at 256px batch 8)")
+    p.add_argument("--nan_guard", default="apply_if_finite",
+                   choices=["apply_if_finite", "zero_grads"])
     return p
 
 
@@ -51,6 +56,8 @@ def run(task: str, default_output: str) -> None:
         image_size=args.image_size,
         seed=args.seed,
         save_steps=args.save_steps,
+        optimizer=args.optimizer,
+        nan_guard=args.nan_guard,
     )
     metrics = train_task(
         task,

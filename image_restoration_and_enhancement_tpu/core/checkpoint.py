@@ -288,6 +288,51 @@ def import_torch_state_dict(
     return unflatten_params(flat)
 
 
+_NORM_LEAF_PARENTS = set(_NORM_PARENTS)
+
+
+def export_torch_state_dict(params) -> Dict[str, np.ndarray]:
+    """Inverse of import_torch_state_dict: flax params -> diffusers-style
+    torch names/layouts. Lets checkpoints trained here be consumed by the
+    torch ecosystem (and powers full-coverage import round-trip tests)."""
+    flat = flatten_params(params)
+    out: Dict[str, np.ndarray] = {}
+    for path, arr in flat.items():
+        parts = path.split("/")
+        leaf = parts[-1]
+        parent = parts[-2] if len(parts) > 1 else ""
+        prefix = parts[:-1]
+        # indexed module lists back to dotted indices
+        name = ".".join(prefix)
+        name = re.sub(
+            r"\b(down_blocks|up_blocks|resnets|attentions|transformer_blocks|"
+            r"downsamplers|upsamplers|layers)_(\d+)",
+            r"\1.\2",
+            name,
+        )
+        name = name.replace("ff.proj_in", "ff.net.0.proj")
+        name = name.replace("ff.proj_out", "ff.net.2")
+        if name.endswith("to_out"):
+            name = name + ".0"
+        if leaf == "scale":
+            out[f"{name}.weight"] = np.asarray(arr)
+        elif leaf == "bias":
+            out[f"{name}.bias"] = np.asarray(arr)
+        elif leaf == "embedding":
+            out[f"{name}.weight"] = np.asarray(arr)
+        elif leaf == "kernel":
+            a = np.asarray(arr)
+            if a.ndim == 4:
+                out[f"{name}.weight"] = a.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+            else:
+                out[f"{name}.weight"] = a.T
+        elif leaf == "position_embedding":
+            out["position_embedding.weight"] = np.asarray(arr)
+        else:
+            out[f"{name}.{leaf}"] = np.asarray(arr)
+    return out
+
+
 def load_torch_safetensors(path: str) -> Dict[str, np.ndarray]:
     """Read a torch-saved .safetensors file as numpy (no torch needed)."""
     return dict(st_numpy.load_file(path))

@@ -50,13 +50,25 @@ class _DownEncoderBlock(nn.Module):
                 dtype=self.dtype, name=f"resnets_{i}",
             )(x)
         if self.add_downsample:
-            # diffusers VAE downsample: asymmetric (0,1) pad + VALID stride-2.
-            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-            x = nn.Conv(
-                self.out_channels, (3, 3), strides=(2, 2), padding="VALID",
-                dtype=self.dtype, name="downsamplers_0",
-            )(x)
+            x = _VAEDownsample(self.out_channels, dtype=self.dtype,
+                               name="downsamplers_0")(x)
         return x
+
+
+class _VAEDownsample(nn.Module):
+    """diffusers VAE downsample: asymmetric (0,1) pad + VALID stride-2 conv
+    (named .conv for checkpoint-name parity)."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return nn.Conv(
+            self.out_channels, (3, 3), strides=(2, 2), padding="VALID",
+            dtype=self.dtype, name="conv",
+        )(x)
 
 
 class _UpDecoderBlock(nn.Module):

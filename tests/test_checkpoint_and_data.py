@@ -307,3 +307,43 @@ def test_metrics_calculator_api(rng):
     # mismatched sizes auto-resize
     small = b[:12, :12]
     assert calc.calculate_psnr(small, a) > 0
+
+
+@pytest.mark.parametrize("which", ["unet", "sdxl_unet", "vae", "clip"])
+def test_torch_export_import_roundtrip_full_coverage(which):
+    """Export EVERY param of a real (tiny) model to torch-style names, then
+    import back: guarantees the converter covers the complete name space in
+    both directions (no silent drops, exact layouts)."""
+    from image_restoration_and_enhancement_tpu.models.clip_text import CLIPTextModel
+    from image_restoration_and_enhancement_tpu.models.unet import UNet2DCondition
+    from image_restoration_and_enhancement_tpu.models.vae import AutoencoderKL
+
+    key = jax.random.PRNGKey(0)
+    if which == "unet":
+        m = UNet2DCondition(C.TINY_UNET, attention_backend="xla")
+        params = m.init(key, jnp.zeros((1, 16, 16, 4)), jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1, 77, C.TINY_UNET.cross_attention_dim)))["params"]
+    elif which == "sdxl_unet":
+        m = UNet2DCondition(C.TINY_SDXL_UNET, attention_backend="xla")
+        params = m.init(
+            key, jnp.zeros((1, 16, 16, 4)), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, C.TINY_SDXL_UNET.cross_attention_dim)),
+            {"text_embeds": jnp.zeros((1, 8)), "time_ids": jnp.zeros((1, 6))},
+        )["params"]
+    elif which == "vae":
+        m = AutoencoderKL(C.TINY_VAE)
+        params = m.init(key, jnp.zeros((1, 32, 32, 3)))["params"]
+    else:
+        m = CLIPTextModel(C.TINY_CLIP_TEXT)
+        params = m.init(key, jnp.zeros((1, 77), jnp.int32))["params"]
+
+    state = ckpt.export_torch_state_dict(params)
+    back = ckpt.import_torch_state_dict(state)
+
+    flat_orig = ckpt.flatten_params(params)
+    flat_back = ckpt.flatten_params(back)
+    assert set(flat_orig) == set(flat_back), (
+        sorted(set(flat_orig) ^ set(flat_back))[:10]
+    )
+    for k in flat_orig:
+        np.testing.assert_array_equal(flat_orig[k], flat_back[k], err_msg=k)

@@ -1,0 +1,161 @@
+"""Fused GroupNorm(+SiLU) Pallas kernel.
+
+Profiling the 512px sampling loop (CLAUDE.md) shows GroupNorm chains are a
+major elementwise cost: the XLA lowering runs separate convert/reduce
+passes per norm. This kernel does one HBM read + one write per tensor:
+
+- grid over the batch; each cell holds the full (H, W, C) activation in
+  VMEM (bf16) — all SD UNet levels fit (<= 2.6MB at 512px inputs).
+- group statistics via MXU matmuls against one-hot group maps
+  (ones-vector row sum -> per-channel sums -> per-group sums), chunked
+  over rows so squares are computed in float32 without materializing a
+  full fp32 copy.
+- normalize + affine + optional SiLU on the VPU, written back in bf16.
+
+Falls back to flax GroupNorm off-TPU or when the tensor exceeds the VMEM
+budget (the VAE's 512x512 layers).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+_CHUNK = 512
+
+
+def _kernel(x_ref, scale_ref, bias_ref, cmap_ref, gmap_ref, o_ref,
+            *, groups: int, eps: float, act: str, rows: int, cols: int):
+    """x: [1, rows, cols] bf16; cmap: [cols, groups] one-hot; gmap = cmap.T."""
+    n_chunks = pl.cdiv(rows, _CHUNK)
+
+    def stats_body(i, carry):
+        s, ss = carry
+        chunk = x_ref[0, pl.ds(i * _CHUNK, _CHUNK), :].astype(jnp.float32)
+        # mask padded tail rows (rows may not divide by _CHUNK)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, chunk.shape, 0) + i * _CHUNK
+        chunk = jnp.where(row_ids < rows, chunk, 0.0)
+        ones = jnp.ones((1, chunk.shape[0]), jnp.float32)
+        s = s + jax.lax.dot(ones, chunk, preferred_element_type=jnp.float32)
+        ss = ss + jax.lax.dot(ones, chunk * chunk, preferred_element_type=jnp.float32)
+        return s, ss
+
+    zero = jnp.zeros((1, cols), jnp.float32)
+    col_sum, col_sumsq = jax.lax.fori_loop(0, n_chunks, stats_body, (zero, zero))
+
+    # per-group stats via one-hot contraction, then broadcast back per channel
+    g_sum = jax.lax.dot(col_sum, cmap_ref[:], preferred_element_type=jnp.float32)
+    g_sumsq = jax.lax.dot(col_sumsq, cmap_ref[:], preferred_element_type=jnp.float32)
+    count = jnp.float32(rows * cols // groups)
+    g_mean = g_sum / count
+    g_var = g_sumsq / count - g_mean * g_mean
+    g_rstd = jax.lax.rsqrt(g_var + eps)
+    mean_c = jax.lax.dot(g_mean, gmap_ref[:], preferred_element_type=jnp.float32)
+    rstd_c = jax.lax.dot(g_rstd, gmap_ref[:], preferred_element_type=jnp.float32)
+
+    w = rstd_c * scale_ref[:]          # [1, cols]
+    b = bias_ref[:] - mean_c * w       # [1, cols]
+
+    def norm_body(i, _):
+        chunk = x_ref[0, pl.ds(i * _CHUNK, _CHUNK), :].astype(jnp.float32)
+        y = chunk * w + b
+        if act == "silu":
+            y = y * jax.nn.sigmoid(y)
+        o_ref[0, pl.ds(i * _CHUNK, _CHUNK), :] = y.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, norm_body, 0)
+
+
+def _pallas_group_norm(x, scale, bias, groups, eps, act, interpret=False):
+    b, h, w_, c = x.shape
+    rows, cols = h * w_, c
+    x2 = x.reshape(b, rows, cols)
+    rows_p = ((rows + _CHUNK - 1) // _CHUNK) * _CHUNK
+    if rows_p != rows:
+        x2 = jnp.pad(x2, ((0, 0), (0, rows_p - rows), (0, 0)))
+    gc = c // groups
+    cmap = jnp.asarray(
+        np.repeat(np.eye(groups, dtype=np.float32), gc, axis=0)
+    )  # [C, G]
+    gmap = cmap.T  # [G, C]
+    out = pl.pallas_call(
+        functools.partial(_kernel, groups=groups, eps=eps, act=act,
+                          rows=rows, cols=cols),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, rows_p, cols), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cols), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cols), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cols, groups), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((groups, cols), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows_p, cols), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, rows_p, cols), x.dtype),
+        interpret=interpret,
+    )(x2, scale.reshape(1, c).astype(jnp.float32),
+      bias.reshape(1, c).astype(jnp.float32), cmap, gmap)
+    return out[:, :rows].reshape(b, h, w_, c)
+
+
+def _reference_group_norm(x, scale, bias, groups, eps, act):
+    b, h, w_, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, h * w_, groups, c // groups)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = xf.var(axis=(1, 3), keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(b, h, w_, c) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if act == "silu":
+        y = jax.nn.silu(y)
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _group_norm_pallas_diff(x, scale, bias, groups, eps, act):
+    return _pallas_group_norm(x, scale, bias, groups, eps, act)
+
+
+def _gn_fwd(x, scale, bias, groups, eps, act):
+    return _pallas_group_norm(x, scale, bias, groups, eps, act), (x, scale, bias)
+
+
+def _gn_bwd(groups, eps, act, res, g):
+    # backward via the XLA reference implementation (recompute)
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda x_, s_, b_: _reference_group_norm(x_, s_, b_, groups, eps, act),
+        x, scale, bias,
+    )
+    return vjp(g)
+
+
+_group_norm_pallas_diff.defvjp(_gn_fwd, _gn_bwd)
+
+
+def group_norm(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    groups: int,
+    eps: float = 1e-5,
+    act: Optional[str] = None,
+    backend: Optional[str] = None,
+) -> jnp.ndarray:
+    """Fused GroupNorm with optional SiLU. x: [B,H,W,C]. Differentiable
+    (pallas forward, XLA-recompute backward)."""
+    act = act or "none"
+    fits = x.shape[1] * x.shape[2] * x.shape[3] * x.dtype.itemsize <= _VMEM_BUDGET_BYTES
+    if backend == "pallas_interpret":
+        return _pallas_group_norm(x, scale, bias, groups, eps, act, interpret=True)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if (backend == "pallas") or (backend is None and on_tpu and fits):
+        return _group_norm_pallas_diff(x, scale, bias, groups, eps, act)
+    return _reference_group_norm(x, scale, bias, groups, eps, act)

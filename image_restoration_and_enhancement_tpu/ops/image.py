@@ -190,18 +190,23 @@ def motion_blur(img: jnp.ndarray, size: int, angle_deg: float) -> jnp.ndarray:
 
 
 def uniform_filter(img: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Valid-region uniform filter: (..., H, W, C) -> (..., H-s+1, W-s+1, C)."""
+    """Valid-region uniform filter: (..., H, W, C) -> (..., H-s+1, W-s+1, C).
+
+    Runs at HIGHEST precision: SSIM computes variances as E[x^2] - E[x]^2,
+    where TPU-default bf16 convolution error dominates the tiny variance of
+    smooth images (observed SSIM > 1 without this)."""
     squeeze = img.ndim == 3
     if squeeze:
         img = img[None]
     c = img.shape[-1]
-    kern = jnp.full((size, size, 1, c), 1.0 / (size * size), dtype=img.dtype)
+    kern = jnp.full((size, size, 1, c), 1.0 / (size * size), dtype=jnp.float32)
     out = jax.lax.conv_general_dilated(
-        img,
+        img.astype(jnp.float32),
         kern,
         window_strides=(1, 1),
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out[0] if squeeze else out

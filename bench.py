@@ -35,7 +35,7 @@ def main():
     from image_restoration_and_enhancement_tpu import config as C
     from image_restoration_and_enhancement_tpu.core import sampling
 
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    batch = int(os.environ.get("BENCH_BATCH", "8"))  # best measured batch
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     size = int(os.environ.get("BENCH_SIZE", "512"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))

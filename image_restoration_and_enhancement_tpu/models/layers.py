@@ -83,16 +83,16 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, t_emb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         residual = x
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = FusedGroupNorm(self.groups, eps=self.eps, act="silu", dtype=self.dtype,
+                           name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         if self.use_time_emb and t_emb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 nn.silu(t_emb)
             )
             h = h + t[:, None, None, :]
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = FusedGroupNorm(self.groups, eps=self.eps, act="silu", dtype=self.dtype,
+                           name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:
             residual = nn.Conv(
@@ -208,7 +208,7 @@ class Transformer2D(nn.Module):
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         residual = x
-        x = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        x = FusedGroupNorm(self.groups, eps=1e-6, dtype=self.dtype, name="norm")(x)
         if self.use_linear_projection:
             x = x.reshape(b, h * w, c)
             x = nn.Dense(c, dtype=self.dtype, name="proj_in")(x)
@@ -240,7 +240,7 @@ class VAEAttentionBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         residual = x
-        y = nn.GroupNorm(self.groups, epsilon=1e-6, dtype=self.dtype, name="group_norm")(x)
+        y = FusedGroupNorm(self.groups, eps=1e-6, dtype=self.dtype, name="group_norm")(x)
         y = y.reshape(b, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(y)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(y)

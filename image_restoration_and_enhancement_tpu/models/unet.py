@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ..config import UNetConfig
 from .layers import (
     Downsample2D,
+    FusedGroupNorm,
     ResnetBlock2D,
     TimestepEmbedding,
     Transformer2D,
@@ -261,9 +262,9 @@ class UNet2DCondition(nn.Module):
             )(x, blk_skips, t_emb, context)
         assert not skips, "skip connection bookkeeping mismatch"
 
-        x = nn.GroupNorm(
-            cfg.norm_num_groups, epsilon=cfg.norm_eps, dtype=self.dtype, name="conv_norm_out"
+        x = FusedGroupNorm(
+            cfg.norm_num_groups, eps=cfg.norm_eps, act="silu", dtype=self.dtype,
+            name="conv_norm_out",
         )(x)
-        x = nn.silu(x)
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
         return x.astype(jnp.float32)

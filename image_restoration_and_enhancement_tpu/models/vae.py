@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import VAEConfig
-from .layers import ResnetBlock2D, Upsample2D, VAEAttentionBlock
+from .layers import FusedGroupNorm, ResnetBlock2D, Upsample2D, VAEAttentionBlock
 
 
 class DiagonalGaussian(NamedTuple):
@@ -130,8 +130,8 @@ class Encoder(nn.Module):
             cfg.block_out_channels[-1], cfg.norm_num_groups,
             cfg.mid_block_add_attention, dtype=self.dtype, name="mid_block",
         )(x)
-        x = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(x)
-        x = nn.silu(x)
+        x = FusedGroupNorm(cfg.norm_num_groups, eps=1e-6, act="silu", dtype=self.dtype,
+                           name="conv_norm_out")(x)
         return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
 
 
@@ -155,8 +155,8 @@ class Decoder(nn.Module):
                 ch, cfg.layers_per_block + 1, cfg.norm_num_groups,
                 add_upsample=i < n - 1, dtype=self.dtype, name=f"up_blocks_{i}",
             )(x)
-        x = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(x)
-        x = nn.silu(x)
+        x = FusedGroupNorm(cfg.norm_num_groups, eps=1e-6, act="silu", dtype=self.dtype,
+                           name="conv_norm_out")(x)
         return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
 
 

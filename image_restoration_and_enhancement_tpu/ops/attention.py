@@ -55,29 +55,51 @@ def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
 # ---------------------------------------------------------------------------
 
 
-def _fused_attention_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, scale: float):
+def _fused_attention_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int):
     """One Q block vs all K/V for one (batch*head). Block shapes:
     q/o: [block_q, Dp], k/v: [Nkp, Dp].
 
     Inputs stay in their storage dtype (bf16) so the MXU runs at full rate;
-    accumulation and softmax statistics are float32."""
+    accumulation and softmax statistics are float32. The 1/sqrt(d) scale is
+    pre-folded into Q by the caller (one tiny pass over Q instead of a
+    full pass over the [block_q, Nk] score matrix here), and the softmax
+    denominator is applied AFTER the PV matmul — dividing the [block_q, Dp]
+    output instead of the Nk-wide probability matrix (exp(s-m) stays
+    correct; sum(p)=l is factored out of the linear PV product)."""
     s = jax.lax.dot_general(
         q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [block_q, Nkp] fp32
-    s = s * scale
     nkp = s.shape[-1]
     if kv_len < nkp:  # mask zero-padded K columns (static)
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, -jnp.inf)
+    # The kernel is VPU-bound at large Nk (the matmuls are ~3x faster than
+    # the softmax passes), so the softmax is trimmed to three passes over
+    # the score matrix: max, fused sub+exp+downcast (bf16 store), and a
+    # packed bf16-input sum. exp is exact in fp32; only the stored
+    # probabilities round to bf16, which the PV matmul consumes anyway.
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / l).astype(v_ref.dtype)
+    p = jnp.exp(s - m).astype(v_ref.dtype)
+    l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
     o = jax.lax.dot_general(
-        p, v_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p, v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    o_ref[0] = o.astype(o_ref.dtype)
+    o_ref[0] = (o * pl.reciprocal(l, approx=False)).astype(o_ref.dtype)
+
+
+def _pick_block_q(nq: int, nkp: int) -> int:
+    import os
+
+    env = os.environ.get("IRET_ATTN_BLOCK_Q")
+    if env:
+        return min(int(env), _round_up(nq, 8))
+    if nkp <= 256:
+        # cross-attention (77-token text KV): per-block work is tiny, so use
+        # huge Q blocks — the fp32 score block is only [block_q, nkp].
+        return min(2048, _round_up(nq, 8))
+    return min(512, _round_up(nq, 8))
 
 
 def _pallas_attention_bhnd(
@@ -90,16 +112,16 @@ def _pallas_attention_bhnd(
 
     dp = _round_up(d, _LANE)
     nkp = _round_up(nk, _LANE)
-    block_q = min(256, _round_up(nq, 8))
+    block_q = _pick_block_q(nq, _round_up(nk, _LANE))
     nqp = _round_up(nq, block_q)
 
-    qp = jnp.pad(q, ((0, 0), (0, nqp - nq), (0, dp - d)))
+    qp = jnp.pad((q * jnp.asarray(scale, q.dtype)), ((0, 0), (0, nqp - nq), (0, dp - d)))
     kp = jnp.pad(k, ((0, 0), (0, nkp - nk), (0, dp - d)))
     vp = jnp.pad(v, ((0, 0), (0, nkp - nk), (0, dp - d)))
 
     grid = (bh, nqp // block_q)
     out = pl.pallas_call(
-        functools.partial(_fused_attention_kernel, kv_len=nk, scale=scale),
+        functools.partial(_fused_attention_kernel, kv_len=nk),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),

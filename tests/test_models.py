@@ -262,3 +262,4 @@ def test_clip_return_dict_pooled():
     assert out["last_hidden_state"].shape == (2, 77, cfg.hidden_size)
     assert out["penultimate_hidden_state"].shape == (2, 77, cfg.hidden_size)
     assert out["pooled"].shape == (2, cfg.hidden_size)
+

@@ -303,6 +303,65 @@ def make_inpaint_fn(
     return jax.jit(fn) if jit else fn
 
 
+def make_sharded_img2img_fn(
+    modules: SDModules,
+    mesh,
+    num_inference_steps: int,
+    strength: float,
+    guidance_scale: float,
+    sampler: str = "plms",
+    data_axis: str = "data",
+    model_axis: Optional[str] = None,
+):
+    """Multi-chip serving: the img2img program jitted over a device mesh.
+
+    The image batch (and per-image contexts) shard over `data_axis`; each
+    step's CFG UNet batch stays chip-local, so the whole denoise loop runs
+    with ZERO inter-chip communication — the ideal serving layout (the
+    reference serves strictly single-GPU, src/inference.py:139-197).
+    If `model_axis` is given, UNet projections are additionally
+    tensor-parallel over it (Megatron-style, parallel.sharding_rules) and
+    XLA inserts the per-layer collectives over ICI.
+
+    Returns (fn, shard_params_fn): call `params = shard_params_fn(params)`
+    once, then fn(params, image, prompt_ctx, uncond_ctx, key) with a global
+    batch divisible by the data-axis size.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel import sharding_rules as sr
+
+    base_fn = make_img2img_fn(
+        modules, num_inference_steps, strength, guidance_scale, sampler,
+        jit=False,
+    )
+
+    batch_sh = NamedSharding(mesh, P(data_axis))
+    repl = NamedSharding(mesh, P())
+
+    def shard_params_fn(params):
+        shardings = jax.tree.map(lambda _: repl, params)
+        if model_axis is not None:
+            shardings = dict(shardings)
+            shardings["unet"] = sr.tp_shardings(
+                params["unet"], mesh, model_axis=model_axis
+            )
+        return jax.tree.map(jax.device_put, params, shardings)
+
+    jitted = jax.jit(base_fn, out_shardings=batch_sh)
+
+    def fn(params, image, prompt_ctx, uncond_ctx, key):
+        """Contexts must be per-image ([B, 77, d]); the batch B is global
+        and must divide by the data-axis size."""
+        image = jax.device_put(image, batch_sh)
+        prompt_ctx = jax.device_put(prompt_ctx, batch_sh)
+        if uncond_ctx is not None:
+            uncond_ctx = jax.device_put(uncond_ctx, batch_sh)
+        return jitted(params, image, prompt_ctx, uncond_ctx, key)
+
+    return fn, shard_params_fn
+
+
 def init_params(
     modules: SDModules, key: jax.Array, image_size: int = 256, seq_len: int = 77
 ):

@@ -37,6 +37,47 @@ class FusedGroupNorm(nn.Module):
         )
 
 
+class FusedLayerNorm(nn.Module):
+    """LayerNorm with reduce-fused fp32 statistics (no materialized fp32
+    copy of the input). flax's nn.LayerNorm upcasts the whole tensor to
+    float32 before reducing; on the 512px UNet the XLA lowering materializes
+    (and relayouts) those converts — measured ~23 GB of copy traffic per
+    20-step sampling call. Here the converts ride inside the reduces
+    (jnp.mean(..., dtype=f32)) and the normalize is one elementwise pass.
+    Parameter names match nn.LayerNorm (scale/bias)."""
+
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+        mean_sq = jnp.mean(
+            jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True,
+            dtype=jnp.float32,
+        )
+        rstd = jax.lax.rsqrt(jnp.maximum(mean_sq - jnp.square(mean), 0.0) + self.eps)
+        w = rstd * scale.astype(jnp.float32)
+        b = bias.astype(jnp.float32) - mean * w
+        y = x.astype(jnp.float32) * w + b
+        return y.astype(self.dtype)
+
+
+def nearest_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """2x nearest-neighbor upsample via broadcast+reshape.
+
+    jax.image.resize(method="nearest") lowers to a gather on TPU (measured
+    ~6.7 GB of gather traffic per sampling call across the UNet and VAE
+    upsamplers); a broadcast+reshape lowers to a plain layout copy at HBM
+    bandwidth."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
 def timestep_embedding(
     timesteps: jnp.ndarray,
     dim: int,
@@ -118,8 +159,7 @@ class Upsample2D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        x = nearest_upsample_2x(x)
         return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
 
 
@@ -181,10 +221,10 @@ class BasicTransformerBlock(nn.Module):
             self.heads, self.head_dim, dtype=self.dtype,
             attention_backend=self.attention_backend, name=name,
         )
-        x = x + attn("attn1")(nn.LayerNorm(dtype=self.dtype, name="norm1")(x))
-        x = x + attn("attn2")(nn.LayerNorm(dtype=self.dtype, name="norm2")(x), context)
+        x = x + attn("attn1")(FusedLayerNorm(dtype=self.dtype, name="norm1")(x))
+        x = x + attn("attn2")(FusedLayerNorm(dtype=self.dtype, name="norm2")(x), context)
         x = x + GEGLUFeedForward(x.shape[-1], dtype=self.dtype, name="ff")(
-            nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+            FusedLayerNorm(dtype=self.dtype, name="norm3")(x)
         )
         return x
 

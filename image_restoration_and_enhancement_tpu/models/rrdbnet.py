@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .layers import nearest_upsample_2x
+
 WEIGHTS_PATH = os.path.join(
     os.environ.get("IRET_WEIGHTS_DIR", "weights"), "realesrgan_x4.safetensors"
 )
@@ -77,8 +79,7 @@ class RRDBNet(nn.Module):
         feat = feat + body
         # x4: two nearest-x2 + conv stages
         for name in ("conv_up1", "conv_up2"):
-            b, h, w, c = feat.shape
-            feat = jax.image.resize(feat, (b, h * 2, w * 2, c), "nearest")
+            feat = nearest_upsample_2x(feat)
             feat = lrelu(nn.Conv(self.features, (3, 3), padding=1, name=name)(feat))
         feat = lrelu(nn.Conv(self.features, (3, 3), padding=1, name="conv_hr")(feat))
         return nn.Conv(3, (3, 3), padding=1, name="conv_last")(feat)

@@ -142,6 +142,93 @@ def _pallas_attention_bhnd(
     return out[:, :nq, :d]
 
 
+def _packed_attention_kernel(q_ref, k_ref, v_ref, o_ref, *,
+                             heads: int, head_dim: int, kv_len: int,
+                             scale: float):
+    """All heads of one Q block vs all K/V for one batch element.
+
+    Blocks keep the projection layout [block, H*D]: q/o [block_q, H*D],
+    k/v [Nkp, H*D]. The per-head split happens here as static lane slices
+    (an in-VMEM relayout) instead of a transposed+padded HBM copy of
+    q/k/v and the output — which the [BH, N, D] kernel layout costs
+    (measured ~30 GB of copy/pad/transpose traffic per 20-step 512px
+    sampling call). MXU cost is unchanged: the contraction/output dims are
+    the same head_dim the padded layout runs.
+
+    STATUS (measured on v5e, 2026-08-17): numerically correct (interpret
+    parity tests below) but does NOT compile at SD level-0 shapes — Mosaic
+    stack-allocates the unrolled per-head slice relayouts and overflows
+    the 16MB scoped-VMEM limit (26.2M at block_q=512, 21.8M at 256, i.e.
+    the K/V head-slice buffers dominate, not the score matrix). Kept as an
+    opt-in (IRET_ATTN_PACKED=1) research path; the shipping kernel is the
+    [BH, N, D] layout above."""
+    outs = []
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh = q_ref[0][:, sl] * jnp.asarray(scale, q_ref.dtype)
+        s = jax.lax.dot_general(
+            qh, k_ref[0][:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [block_q, Nkp] fp32
+        nkp = s.shape[-1]
+        if kv_len < nkp:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < kv_len, s, -jnp.inf)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m).astype(v_ref.dtype)
+        l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, v_ref[0][:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append((o * pl.reciprocal(l, approx=False)).astype(o_ref.dtype))
+    o_ref[0] = jnp.concatenate(outs, axis=-1)
+
+
+def pallas_attention_packed(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused attention on projection-layout tensors: q [B, Nq, H*D],
+    k/v [B, Nk, H*D] -> [B, Nq, H*D]. No host-side transposes or pads."""
+    b, nq, hd = q.shape
+    nk = k.shape[1]
+    d = hd // heads
+    scale = 1.0 / (d**0.5)
+
+    nkp = _round_up(nk, 8)
+    block_q = _pick_block_q(nq, _round_up(nk, _LANE))
+    nqp = _round_up(nq, block_q)
+    qp = jnp.pad(q, ((0, 0), (0, nqp - nq), (0, 0))) if nqp != nq else q
+    kp = jnp.pad(k, ((0, 0), (0, nkp - nk), (0, 0))) if nkp != nk else k
+    vp = jnp.pad(v, ((0, 0), (0, nkp - nk), (0, 0))) if nkp != nk else v
+
+    grid = (b, nqp // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _packed_attention_kernel, heads=heads, head_dim=d, kv_len=nk,
+            scale=scale,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkp, hd), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkp, hd), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, hd), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nqp, hd), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * nqp * _round_up(nk, _LANE) * heads * _round_up(d, _LANE),
+            bytes_accessed=(qp.size + kp.size + vp.size) * q.dtype.itemsize,
+            transcendentals=b * heads * nqp * nk,
+        ),
+    )(qp, kp, vp)
+    return out[:, :nq] if nqp != nq else out
+
+
 def pallas_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, interpret: bool = False
 ) -> jnp.ndarray:
@@ -186,6 +273,28 @@ def _attention_tpu_bwd(res, g):
 _attention_tpu.defvjp(_attention_tpu_fwd, _attention_tpu_bwd)
 
 
+def _packed_call(q, k, v, interpret=False):
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
+    out = pallas_attention_packed(
+        q.reshape(b, nq, h * d), k.reshape(b, nk, h * d),
+        v.reshape(b, nk, h * d), heads=h, interpret=interpret,
+    )
+    return out.reshape(b, nq, h, d)
+
+
+@jax.custom_vjp
+def _attention_tpu_packed(q, k, v):
+    return _packed_call(q, k, v)
+
+
+def _attention_tpu_packed_fwd(q, k, v):
+    return _packed_call(q, k, v), (q, k, v)
+
+
+_attention_tpu_packed.defvjp(_attention_tpu_packed_fwd, _attention_tpu_bwd)
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -202,11 +311,21 @@ def attention(
         import os
 
         min_n = int(os.environ.get("IRET_ATTN_PALLAS_MIN", "2048"))
-        backend = "pallas" if (_on_tpu() and q.shape[1] >= min_n) else "xla"
+        if _on_tpu() and q.shape[1] >= min_n:
+            backend = (
+                "pallas_packed" if os.environ.get("IRET_ATTN_PACKED") == "1"
+                else "pallas"
+            )
+        else:
+            backend = "xla"
     if backend == "pallas":
         return _attention_tpu(q, k, v)
+    if backend == "pallas_packed":
+        return _attention_tpu_packed(q, k, v)
     if backend == "xla":
         return xla_attention(q, k, v)
     if backend == "pallas_interpret":  # tests
         return pallas_attention(q, k, v, interpret=True)
+    if backend == "pallas_packed_interpret":  # tests
+        return _packed_call(q, k, v, interpret=True)
     raise ValueError(f"Unknown attention backend: {backend}")

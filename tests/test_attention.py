@@ -46,3 +46,23 @@ def test_xla_attention_grads_finite():
 
     g = jax.grad(loss)(q)
     assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.parametrize(
+    "b,nq,nk,h,d",
+    [
+        (2, 64, 64, 8, 40),     # SD level-0 shape (packed lane slices at 40)
+        (1, 64, 77, 4, 80),     # cross-attention, 77-token KV
+        (1, 100, 100, 2, 160),  # non-multiple-of-block seq len, widest head
+    ],
+)
+def test_pallas_packed_matches_xla(b, nq, nk, h, d):
+    """Packed layout ([B, N, H*D], in-kernel head split) vs XLA reference."""
+    key = jax.random.PRNGKey(2)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, nq, h, d), jnp.float32)
+    k = jax.random.normal(kk, (b, nk, h, d), jnp.float32)
+    v = jax.random.normal(kv, (b, nk, h, d), jnp.float32)
+    ref = attn.xla_attention(q, k, v)
+    out = attn.attention(q, k, v, backend="pallas_packed_interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)

@@ -263,3 +263,33 @@ def test_clip_return_dict_pooled():
     assert out["penultimate_hidden_state"].shape == (2, 77, cfg.hidden_size)
     assert out["pooled"].shape == (2, cfg.hidden_size)
 
+
+def test_fused_layer_norm_matches_flax():
+    import flax.linen as nn
+
+    from image_restoration_and_enhancement_tpu.models.layers import FusedLayerNorm
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 48), jnp.float32) * 3.0 + 1.5
+    ours = FusedLayerNorm(eps=1e-5, dtype=jnp.float32)
+    ref = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
+    p = ours.init(jax.random.PRNGKey(0), x)
+    # randomize affine params; names (scale/bias) are nn.LayerNorm-compatible
+    p = jax.tree.map(
+        lambda a: jax.random.normal(jax.random.PRNGKey(9), a.shape), p
+    )
+    np.testing.assert_allclose(
+        ours.apply(p, x), ref.apply(p, x), rtol=1e-5, atol=1e-5
+    )
+    # bf16 path stays finite and close in fp32 terms
+    yb = FusedLayerNorm(eps=1e-5, dtype=jnp.bfloat16).apply(p, x.astype(jnp.bfloat16))
+    np.testing.assert_allclose(
+        yb.astype(jnp.float32), ref.apply(p, x), rtol=0.05, atol=0.05
+    )
+
+
+def test_nearest_upsample_2x_matches_resize():
+    from image_restoration_and_enhancement_tpu.models.layers import nearest_upsample_2x
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 7, 3))
+    want = jax.image.resize(x, (2, 10, 14, 3), method="nearest")
+    np.testing.assert_array_equal(np.asarray(nearest_upsample_2x(x)), np.asarray(want))

@@ -208,7 +208,13 @@ class GEGLUFeedForward(nn.Module):
 
 
 class BasicTransformerBlock(nn.Module):
-    """LN->self-attn, LN->cross-attn, LN->GEGLU FF, all residual."""
+    """LN->self-attn, LN->cross-attn, LN->GEGLU FF, all residual.
+
+    cfg_dedup (call arg): under classifier-free guidance the uncond/cond
+    halves of the batch are IDENTICAL until the first cross-attention
+    (same latents, same timestep — only the text context differs). When
+    True, `x` arrives at half the context batch; self-attention runs on
+    the half batch and the tensor is duplicated just before attn2."""
 
     heads: int
     head_dim: int
@@ -216,12 +222,16 @@ class BasicTransformerBlock(nn.Module):
     attention_backend: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, context: jnp.ndarray, cfg_dedup: bool = False
+    ) -> jnp.ndarray:
         attn = lambda name: CrossAttention(
             self.heads, self.head_dim, dtype=self.dtype,
             attention_backend=self.attention_backend, name=name,
         )
         x = x + attn("attn1")(FusedLayerNorm(dtype=self.dtype, name="norm1")(x))
+        if cfg_dedup:
+            x = jnp.concatenate([x, x], axis=0)
         x = x + attn("attn2")(FusedLayerNorm(dtype=self.dtype, name="norm2")(x), context)
         x = x + GEGLUFeedForward(x.shape[-1], dtype=self.dtype, name="ff")(
             FusedLayerNorm(dtype=self.dtype, name="norm3")(x)
@@ -245,7 +255,12 @@ class Transformer2D(nn.Module):
     use_linear_projection: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, context: jnp.ndarray, cfg_dedup: bool = False
+    ) -> jnp.ndarray:
+        """cfg_dedup: `x` arrives at half the context batch (the shared
+        CFG prefix); block 0 duplicates it after its self-attention and
+        everything from there runs at the full batch."""
         b, h, w, c = x.shape
         residual = x
         x = FusedGroupNorm(self.groups, eps=1e-6, dtype=self.dtype, name="norm")(x)
@@ -260,13 +275,16 @@ class Transformer2D(nn.Module):
                 self.heads, self.head_dim, dtype=self.dtype,
                 attention_backend=self.attention_backend,
                 name=f"transformer_blocks_{i}",
-            )(x, context)
+            )(x, context, cfg_dedup=(cfg_dedup and i == 0))
+        out_b = 2 * b if cfg_dedup else b
         if self.use_linear_projection:
             x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
-            x = x.reshape(b, h, w, c)
+            x = x.reshape(out_b, h, w, c)
         else:
-            x = x.reshape(b, h, w, c)
+            x = x.reshape(out_b, h, w, c)
             x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+        if cfg_dedup:
+            residual = jnp.concatenate([residual, residual], axis=0)
         return x + residual
 
 

@@ -49,21 +49,27 @@ class CrossAttnDownBlock(nn.Module):
     use_linear_projection: bool = False
 
     @nn.compact
-    def __call__(self, x, t_emb, context):
+    def __call__(self, x, t_emb, context, cfg_dedup: bool = False):
+        """cfg_dedup (first block only): `x` arrives at half the context
+        batch; the first resnet+self-attention run on the shared CFG
+        prefix and the batch is duplicated inside attentions_0 at the
+        first cross-attention (see BasicTransformerBlock)."""
         skips = []
         head_dim = self.out_channels // self.heads
+        half = x.shape[0]
         for i in range(self.num_layers):
+            dedup_here = cfg_dedup and i == 0 and self.has_attn
             x = ResnetBlock2D(
                 self.out_channels, groups=self.groups, eps=self.eps,
                 dtype=self.dtype, name=f"resnets_{i}",
-            )(x, t_emb)
+            )(x, t_emb[:half] if dedup_here else t_emb)
             if self.has_attn:
                 x = Transformer2D(
                     self.heads, head_dim, depth=self.tx_depth, groups=self.groups,
                     dtype=self.dtype, attention_backend=self.attention_backend,
                     use_linear_projection=self.use_linear_projection,
                     name=f"attentions_{i}",
-                )(x, context)
+                )(x, context, cfg_dedup=dedup_here)
             skips.append(x)
         if self.add_downsample:
             x = Downsample2D(self.out_channels, dtype=self.dtype, name="downsamplers_0")(x)
@@ -162,11 +168,28 @@ class UNet2DCondition(nn.Module):
         timesteps: jnp.ndarray,
         encoder_hidden_states: jnp.ndarray,
         added_cond: Optional[dict] = None,
+        cfg_dedup: bool = False,
     ) -> jnp.ndarray:
         """added_cond (SDXL only): {"text_embeds": [B, pooled_dim],
         "time_ids": [B, 6]} — the additive micro-conditioning the reference
-        trainer assembles in its SDXL branch (train_denoising.py:531-594)."""
+        trainer assembles in its SDXL branch (train_denoising.py:531-594).
+
+        cfg_dedup: classifier-free-guidance prefix dedup. `sample` and
+        `timesteps` arrive at HALF the context batch ([B] vs [2B]); the
+        uncond/cond halves are bit-identical through conv_in, the first
+        level-0 resnet and its self-attention (only the text context
+        differs), so that prefix runs once and the batch is duplicated as
+        [x; x] at the first cross-attention. Output is [2B, ...]. Not
+        valid for SDXL text_time conditioning (the added pooled-text
+        embedding feeds the time embedding, which the prefix consumes)."""
         cfg = self.config
+        if cfg_dedup:
+            assert cfg.addition_embed_type != "text_time", (
+                "cfg_dedup is unsupported with SDXL text_time conditioning"
+            )
+            assert cfg.attn_levels[0], (
+                "cfg_dedup needs cross-attention in down level 0"
+            )
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
         context = encoder_hidden_states.astype(self.dtype)
@@ -204,14 +227,22 @@ class UNet2DCondition(nn.Module):
         MidBlock = UNetMidBlock
         UpBlock = CrossAttnUpBlock
         if self.remat:
-            DownBlock = nn.remat(CrossAttnDownBlock)
+            # static_argnums counts self as 0: cfg_dedup is __call__ arg 4
+            # and must stay a Python bool through the remat trace
+            DownBlock = nn.remat(CrossAttnDownBlock, static_argnums=(4,))
             MidBlock = nn.remat(UNetMidBlock)
             UpBlock = nn.remat(CrossAttnUpBlock)
 
-        skips: List[jnp.ndarray] = [x]
+        if cfg_dedup:
+            # the up path consumes this skip at the full batch; t_emb rows
+            # are identical across the CFG halves (same timestep)
+            skips = [jnp.concatenate([x, x], axis=0)]
+            t_emb = jnp.concatenate([t_emb, t_emb], axis=0)
+        else:
+            skips = [x]
         n_levels = len(cfg.block_out_channels)
         for i, out_ch in enumerate(cfg.block_out_channels):
-            x, new_skips = DownBlock(
+            block = DownBlock(
                 out_channels=out_ch,
                 num_layers=cfg.layers_per_block,
                 heads=cfg.heads_at(i),
@@ -224,7 +255,8 @@ class UNet2DCondition(nn.Module):
                 tx_depth=cfg.tx_depth_at(i),
                 use_linear_projection=cfg.use_linear_projection,
                 name=f"down_blocks_{i}",
-            )(x, t_emb, context)
+            )
+            x, new_skips = block(x, t_emb, context, bool(cfg_dedup and i == 0))
             skips.extend(new_skips)
 
         x = MidBlock(

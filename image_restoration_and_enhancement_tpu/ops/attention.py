@@ -55,7 +55,8 @@ def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
 # ---------------------------------------------------------------------------
 
 
-def _fused_attention_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int):
+def _fused_attention_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int,
+                            norm_bound: bool):
     """One Q block vs all K/V for one (batch*head). Block shapes:
     q/o: [block_q, Dp], k/v: [Nkp, Dp].
 
@@ -65,7 +66,20 @@ def _fused_attention_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int):
     full pass over the [block_q, Nk] score matrix here), and the softmax
     denominator is applied AFTER the PV matmul — dividing the [block_q, Dp]
     output instead of the Nk-wide probability matrix (exp(s-m) stays
-    correct; sum(p)=l is factored out of the linear PV product)."""
+    correct; sum(p)=l is factored out of the linear PV product).
+
+    norm_bound (opt-in, IRET_ATTN_NORM_BOUND=1): the kernel is VPU-bound
+    on passes over the [block_q, Nk] score matrix at large Nk, so instead
+    of the row max (an Nk-wide reduce pass) the softmax can shift by the
+    Cauchy-Schwarz bound ||q_i|| * max_j ||k_j|| >= max_j s_ij, computed
+    from d-wide norms (~Nk/d times cheaper). Any upper bound is a
+    mathematically exact softmax shift and exp(s - bound) <= 1 cannot
+    overflow — BUT the bound is ~sqrt(d) looser than the true max for
+    weakly-correlated q/k, so fp32 exp underflows (gap > ~87) zero out
+    confident heads when logits are large (test
+    test_pallas_norm_bound_extreme shows the cliff at ~|logit| 150 for
+    d=40). Default is the exact row max; flip on only for models whose
+    logit range is verified small."""
     s = jax.lax.dot_general(
         q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -74,14 +88,20 @@ def _fused_attention_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int):
     if kv_len < nkp:  # mask zero-padded K columns (static)
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, -jnp.inf)
-    # The kernel is VPU-bound at large Nk (the matmuls are ~3x faster than
-    # the softmax passes), so the softmax is trimmed to three passes over
-    # the score matrix: max, fused sub+exp+downcast (bf16 store), and a
-    # packed bf16-input sum. exp is exact in fp32; only the stored
-    # probabilities round to bf16, which the PV matmul consumes anyway.
-    m = jnp.max(s, axis=-1, keepdims=True)
+    if norm_bound:
+        qf = q_ref[0].astype(jnp.float32)
+        kf = k_ref[0].astype(jnp.float32)
+        qn = jnp.sqrt(jnp.sum(qf * qf, axis=-1, keepdims=True))  # [bq, 1]
+        kn = jnp.sqrt(jnp.max(jnp.sum(kf * kf, axis=-1)))        # scalar
+        m = qn * kn
+    else:
+        m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m).astype(v_ref.dtype)
     l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+    if norm_bound:
+        # if every exp underflowed (pathological logit gaps) return 0s,
+        # not NaN from 0/0
+        l = jnp.maximum(l, 1e-30)
     o = jax.lax.dot_general(
         p, v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -89,7 +109,7 @@ def _fused_attention_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int):
     o_ref[0] = (o * pl.reciprocal(l, approx=False)).astype(o_ref.dtype)
 
 
-def _pick_block_q(nq: int, nkp: int) -> int:
+def _pick_block_q(nq: int, nkp: int, dp: int = 128) -> int:
     import os
 
     env = os.environ.get("IRET_ATTN_BLOCK_Q")
@@ -99,6 +119,12 @@ def _pick_block_q(nq: int, nkp: int) -> int:
         # cross-attention (77-token text KV): per-block work is tiny, so use
         # huge Q blocks — the fp32 score block is only [block_q, nkp].
         return min(2048, _round_up(nq, 8))
+    if dp >= 512:
+        # wide single-head attention (VAE mid block, d=512): the K/V blocks
+        # alone are 4MB each, so halve the fp32 score block to stay inside
+        # Mosaic's 16MB scoped-VMEM limit (512 blocks OOM at 18M when the
+        # grid grows past batch 8).
+        return min(256, _round_up(nq, 8))
     return min(512, _round_up(nq, 8))
 
 
@@ -112,16 +138,20 @@ def _pallas_attention_bhnd(
 
     dp = _round_up(d, _LANE)
     nkp = _round_up(nk, _LANE)
-    block_q = _pick_block_q(nq, _round_up(nk, _LANE))
+    block_q = _pick_block_q(nq, nkp, dp)
     nqp = _round_up(nq, block_q)
 
     qp = jnp.pad((q * jnp.asarray(scale, q.dtype)), ((0, 0), (0, nqp - nq), (0, dp - d)))
     kp = jnp.pad(k, ((0, 0), (0, nkp - nk), (0, dp - d)))
     vp = jnp.pad(v, ((0, 0), (0, nkp - nk), (0, dp - d)))
 
+    import os
+
+    norm_bound = os.environ.get("IRET_ATTN_NORM_BOUND", "0") == "1"
     grid = (bh, nqp // block_q)
     out = pl.pallas_call(
-        functools.partial(_fused_attention_kernel, kv_len=nk),
+        functools.partial(_fused_attention_kernel, kv_len=nk,
+                          norm_bound=norm_bound),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
@@ -197,7 +227,7 @@ def pallas_attention_packed(
     scale = 1.0 / (d**0.5)
 
     nkp = _round_up(nk, 8)
-    block_q = _pick_block_q(nq, _round_up(nk, _LANE))
+    block_q = _pick_block_q(nq, _round_up(nk, _LANE), _round_up(d, _LANE))
     nqp = _round_up(nq, block_q)
     qp = jnp.pad(q, ((0, 0), (0, nqp - nq), (0, 0))) if nqp != nq else q
     kp = jnp.pad(k, ((0, 0), (0, nkp - nk), (0, 0))) if nkp != nk else k
@@ -218,6 +248,72 @@ def pallas_attention_packed(
         out_specs=pl.BlockSpec(
             (1, block_q, hd), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
         ),
+        out_shape=jax.ShapeDtypeStruct((b, nqp, hd), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * nqp * _round_up(nk, _LANE) * heads * _round_up(d, _LANE),
+            bytes_accessed=(qp.size + kp.size + vp.size) * q.dtype.itemsize,
+            transcendentals=b * heads * nqp * nk,
+        ),
+    )(qp, kp, vp)
+    return out[:, :nq] if nqp != nq else out
+
+
+def pallas_attention_packed_grid(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Packed-layout fused attention, head split via the grid.
+
+    Same contract as pallas_attention_packed (q [B, Nq, H*D] -> o same),
+    but the per-head slicing happens in the BlockSpec index maps: grid
+    (B, H, q-blocks) with lane-dim blocks of head_dim, so each cell sees
+    clean [block, D] operands and VMEM stays small (no unrolled per-head
+    buffers). The cost moved to the DMA: q/k/v/o move as D-lane-wide
+    strided slices of the [.., H*D] arrays instead of one dense stream."""
+    b, nq, hd = q.shape
+    nk = k.shape[1]
+    d = hd // heads
+    scale = 1.0 / (d**0.5)
+
+    nkp = _round_up(nk, 8)
+    block_q = _pick_block_q(nq, _round_up(nk, _LANE), _round_up(d, _LANE))
+    nqp = _round_up(nq, block_q)
+    qp = jnp.pad(q, ((0, 0), (0, nqp - nq), (0, 0))) if nqp != nq else q
+    kp = jnp.pad(k, ((0, 0), (0, nkp - nk), (0, 0))) if nkp != nk else k
+    vp = jnp.pad(v, ((0, 0), (0, nkp - nk), (0, 0))) if nkp != nk else v
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        s = jax.lax.dot_general(
+            q_ref[0] * jnp.asarray(scale, q_ref.dtype), k_ref[0],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        if nk < nkp:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < nk, s, -jnp.inf)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m).astype(v_ref.dtype)
+        l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0] = (o * pl.reciprocal(l, approx=False)).astype(o_ref.dtype)
+
+    grid = (b, heads, nqp // block_q)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, h, i: (b, i, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkp, d), lambda b, h, i: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkp, d), lambda b, h, i: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, h, i: (b, i, h),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, nqp, hd), q.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -273,10 +369,14 @@ def _attention_tpu_bwd(res, g):
 _attention_tpu.defvjp(_attention_tpu_fwd, _attention_tpu_bwd)
 
 
-def _packed_call(q, k, v, interpret=False):
+def _packed_call(q, k, v, interpret=False, variant="grid"):
     b, nq, h, d = q.shape
     nk = k.shape[1]
-    out = pallas_attention_packed(
+    impl = (
+        pallas_attention_packed_grid if variant == "grid"
+        else pallas_attention_packed
+    )
+    out = impl(
         q.reshape(b, nq, h * d), k.reshape(b, nk, h * d),
         v.reshape(b, nk, h * d), heads=h, interpret=interpret,
     )
@@ -310,8 +410,25 @@ def attention(
     if backend is None:
         import os
 
-        min_n = int(os.environ.get("IRET_ATTN_PALLAS_MIN", "2048"))
-        if _on_tpu() and q.shape[1] >= min_n:
+        # The pallas kernel wins only in a WINDOW of sequence lengths,
+        # measured end-to-end on v5e (512px/20-step loop, batch 8):
+        #   pallas N>=2048 everywhere: 2.746 img/s
+        #   pallas N>=1024 everywhere: 2.818
+        #   XLA everywhere:            3.110
+        #   pallas only N in [1024, 2048], XLA elsewhere: 3.202  <- default
+        # Below 1024 and at/above 4096 XLA's materialized-softmax attention
+        # is faster: the kernel is VPU-bound on score-matrix passes at
+        # large Nk (isolated: 11.9ms vs XLA 8.7ms at N=4096, CFG batch 16,
+        # scripts/bench_attn.py), and at tiny N the score tensor is cheap
+        # enough that fusion-friendliness wins.
+        min_n = int(os.environ.get("IRET_ATTN_PALLAS_MIN", "1024"))
+        max_n = int(os.environ.get("IRET_ATTN_PALLAS_MAX_N", "2048"))
+        # Very wide heads (VAE mid block: 1 head, d=512) keep 2x 4MB K/V
+        # blocks resident and overflow Mosaic's 16MB scoped VMEM once the
+        # grid grows past ~8 batch elements; XLA costs ~0.2% there.
+        max_d = int(os.environ.get("IRET_ATTN_PALLAS_MAX_D", "384"))
+        if (_on_tpu() and min_n <= q.shape[1] <= max_n
+                and q.shape[-1] <= max_d):
             backend = (
                 "pallas_packed" if os.environ.get("IRET_ATTN_PACKED") == "1"
                 else "pallas"

@@ -56,13 +56,44 @@ def test_xla_attention_grads_finite():
         (1, 100, 100, 2, 160),  # non-multiple-of-block seq len, widest head
     ],
 )
-def test_pallas_packed_matches_xla(b, nq, nk, h, d):
-    """Packed layout ([B, N, H*D], in-kernel head split) vs XLA reference."""
+@pytest.mark.parametrize("variant", ["slice", "grid"])
+def test_pallas_packed_matches_xla(b, nq, nk, h, d, variant):
+    """Packed layout ([B, N, H*D]) vs XLA reference, both head-split
+    strategies (in-kernel lane slices / grid+BlockSpec lane blocks)."""
     key = jax.random.PRNGKey(2)
     kq, kk, kv = jax.random.split(key, 3)
     q = jax.random.normal(kq, (b, nq, h, d), jnp.float32)
     k = jax.random.normal(kk, (b, nk, h, d), jnp.float32)
     v = jax.random.normal(kv, (b, nk, h, d), jnp.float32)
     ref = attn.xla_attention(q, k, v)
-    out = attn.attention(q, k, v, backend="pallas_packed_interpret")
+    out = attn._packed_call(q, k, v, interpret=True, variant=variant)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_pallas_softmax_extreme_values_exact_default():
+    """The default (row-max) softmax must stay accurate at large logits."""
+    key = jax.random.PRNGKey(5)
+    q = jax.random.normal(key, (1, 32, 1, 40), jnp.float32) * 12.0
+    k = jax.random.normal(jax.random.fold_in(key, 1), (1, 64, 1, 40), jnp.float32) * 12.0
+    v = jax.random.normal(jax.random.fold_in(key, 2), (1, 64, 1, 40), jnp.float32)
+    ref = attn.xla_attention(q, k, v)
+    out = attn.attention(q, k, v, backend="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3, rtol=5e-3)
+
+
+def test_pallas_norm_bound_extreme(monkeypatch):
+    """Documents the opt-in norm-bound softmax's failure mode: at large
+    logits the sqrt(d)-loose bound underflows exp and zeroes confident
+    rows (finite, but wrong) — which is why it is OFF by default."""
+    monkeypatch.setenv("IRET_ATTN_NORM_BOUND", "1")
+    key = jax.random.PRNGKey(5)
+    q = jax.random.normal(key, (1, 32, 1, 40), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (1, 64, 1, 40), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (1, 64, 1, 40), jnp.float32)
+    # unit-scale logits: bound shift is exact to normal tolerances
+    ref = attn.xla_attention(q, k, v)
+    out = attn.attention(q, k, v, backend="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-4)
+    # large logits: stays finite (no 0/0), but rows may zero out
+    out2 = attn.attention(q * 12, k * 12, v, backend="pallas_interpret")
+    assert np.isfinite(np.asarray(out2)).all()

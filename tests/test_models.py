@@ -293,3 +293,25 @@ def test_nearest_upsample_2x_matches_resize():
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 7, 3))
     want = jax.image.resize(x, (2, 10, 14, 3), method="nearest")
     np.testing.assert_array_equal(np.asarray(nearest_upsample_2x(x)), np.asarray(want))
+
+
+def test_unet_cfg_dedup_matches_duplicated_batch():
+    """cfg_dedup must produce exactly the [uncond; cond] stacked output of
+    the plain duplicated-batch call (the halves are identical until the
+    first cross-attention; per-sample ops make this bitwise)."""
+    model = UNet2DCondition(C.TINY_UNET, attention_backend="xla")
+    key = jax.random.PRNGKey(0)
+    b = 2
+    x = jax.random.normal(jax.random.fold_in(key, 1), (b, 16, 16, 4))
+    t = jnp.array([7, 300])
+    ctx = jax.random.normal(
+        jax.random.fold_in(key, 2), (2 * b, 77, C.TINY_UNET.cross_attention_dim)
+    )
+    params = model.init(key, x, t, ctx[:b])
+
+    ref = model.apply(
+        params, jnp.concatenate([x, x]), jnp.concatenate([t, t]), ctx
+    )
+    out = model.apply(params, x, t, ctx, cfg_dedup=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)

@@ -42,9 +42,32 @@ def _round_up(x: int, m: int) -> int:
 
 
 def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Plain dot-product attention, [B, N, H, D] layout, fp32 softmax."""
+    """Plain dot-product attention, [B, N, H, D] layout, fp32 softmax.
+
+    IRET_XLA_ATTN_BF16_SCORES=1 (serving experiment, measured NEGATIVE):
+    round the score matrix to bf16 at the matmul epilogue and compute
+    softmax statistics on the fly — the idea was to halve the bandwidth
+    of the materialized [B,H,N,N] tensor at the N=4096 sites. Measured
+    2.62 vs 3.20 img/s end-to-end (-18%): the hand-rolled max/exp/sum
+    breaks XLA's pattern-matched softmax lowering, which is worth far
+    more than the halved score bytes. Left opt-in as the record of the
+    experiment; numerics are fine (max diff ~8e-3)."""
+    import os
+
     d = q.shape[-1]
     scale = 1.0 / (d**0.5)
+    if os.environ.get("IRET_XLA_ATTN_BF16_SCORES") == "1" and q.dtype == jnp.bfloat16:
+        s = jnp.einsum(
+            "bqhd,bkhd->bhqk", q * jnp.asarray(scale, q.dtype), k,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp((s - m).astype(jnp.float32)).astype(jnp.bfloat16)
+        l = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+        o = jnp.einsum(
+            "bhqk,bkhd->bqhd", p, v, preferred_element_type=jnp.float32
+        )
+        return (o / l.transpose(0, 2, 1, 3)).astype(q.dtype)  # l: [b,h,q,1]->[b,q,h,1]
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     p = jax.nn.softmax(s * scale, axis=-1)
     return jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v).astype(q.dtype)

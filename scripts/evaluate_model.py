@@ -47,7 +47,9 @@ def main():
         results[task] = res
         print_results(task, res)
 
-    os.makedirs(os.path.dirname(args.out_json), exist_ok=True)
+    out_dir = os.path.dirname(args.out_json)
+    if out_dir:  # bare filenames have no directory to create
+        os.makedirs(out_dir, exist_ok=True)
     with open(args.out_json, "w") as f:
         json.dump(results, f, indent=2)
     print(f"\nwrote {args.out_json}")

@@ -159,7 +159,16 @@ def _pallas_attention_bhnd(
     nk = k.shape[1]
     scale = 1.0 / (d**0.5)
 
-    dp = _round_up(d, _LANE)
+    # IRET_ATTN_NO_DPAD=1: keep the true head_dim as the block lane dim
+    # (legal when the block equals the full array dim) instead of
+    # zero-padding to 128 lanes. Measured (v5e, CFG batch 16): helps at
+    # N=4096/d=40 (10.3 vs 11.9ms — still behind XLA's 8.4) but HURTS the
+    # shipping window sites (N=1024/d=80: 2.51 vs 2.08ms padded), so the
+    # padded layout stays the default.
+    import os
+
+    no_dpad = os.environ.get("IRET_ATTN_NO_DPAD") == "1"
+    dp = d if no_dpad else _round_up(d, _LANE)
     nkp = _round_up(nk, _LANE)
     block_q = _pick_block_q(nq, nkp, dp)
     nqp = _round_up(nq, block_q)

@@ -54,7 +54,11 @@ class MetricsCalculator:
         pred = _match(pred, gt)
         return float(F.ssim(jnp.asarray(_to01(pred)), jnp.asarray(_to01(gt))))
 
-    def calculate_delta_e(self, pred, gt) -> float:
+    def calculate_delta_e(self, pred, gt, use_delta_e2000: bool = False) -> float:
+        """ΔE in LAB. The reference's use_delta_e2000 branch computes the
+        same ΔE76 Euclidean distance (src/metrics.py:134-148 — its ΔE2000 is
+        unimplemented by its own admission); the kwarg is kept for call-site
+        parity."""
         pred = _match(pred, gt)
         return float(F.delta_e76(jnp.asarray(_to01(pred)), jnp.asarray(_to01(gt))))
 

@@ -22,6 +22,7 @@ Public API: attention(q, k, v) with shapes [B, Nq, H, D] / [B, Nk, H, D].
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -52,8 +53,6 @@ def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
     breaks XLA's pattern-matched softmax lowering, which is worth far
     more than the halved score bytes. Left opt-in as the record of the
     experiment; numerics are fine (max diff ~8e-3)."""
-    import os
-
     d = q.shape[-1]
     scale = 1.0 / (d**0.5)
     if os.environ.get("IRET_XLA_ATTN_BF16_SCORES") == "1" and q.dtype == jnp.bfloat16:
@@ -133,8 +132,6 @@ def _fused_attention_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int,
 
 
 def _pick_block_q(nq: int, nkp: int, dp: int = 128) -> int:
-    import os
-
     env = os.environ.get("IRET_ATTN_BLOCK_Q")
     if env:
         return min(int(env), _round_up(nq, 8))
@@ -165,8 +162,6 @@ def _pallas_attention_bhnd(
     # N=4096/d=40 (10.3 vs 11.9ms — still behind XLA's 8.4) but HURTS the
     # shipping window sites (N=1024/d=80: 2.51 vs 2.08ms padded), so the
     # padded layout stays the default.
-    import os
-
     no_dpad = os.environ.get("IRET_ATTN_NO_DPAD") == "1"
     dp = d if no_dpad else _round_up(d, _LANE)
     nkp = _round_up(nk, _LANE)
@@ -177,8 +172,8 @@ def _pallas_attention_bhnd(
     kp = jnp.pad(k, ((0, 0), (0, nkp - nk), (0, dp - d)))
     vp = jnp.pad(v, ((0, 0), (0, nkp - nk), (0, dp - d)))
 
-    import os
-
+    # NOTE: like every IRET_* knob in this module, read at trace time —
+    # changing it after a function is jitted has no effect until re-trace.
     norm_bound = os.environ.get("IRET_ATTN_NORM_BOUND", "0") == "1"
     grid = (bh, nqp // block_q)
     out = pl.pallas_call(
@@ -440,8 +435,6 @@ def attention(
     via IRET_ATTN_PALLAS_MIN) and the XLA path elsewhere.
     """
     if backend is None:
-        import os
-
         # The pallas kernel wins only in a WINDOW of sequence lengths,
         # measured end-to-end on v5e (512px/20-step loop, batch 8):
         #   pallas N>=2048 everywhere: 2.746 img/s

@@ -56,7 +56,9 @@ def _kernel(x_ref, scale_ref, bias_ref, cmap_ref, gmap_ref, o_ref,
     g_sumsq = jax.lax.dot(col_sumsq, cmap_ref[:], preferred_element_type=jnp.float32)
     count = jnp.float32(rows * cols // groups)
     g_mean = g_sum / count
-    g_var = g_sumsq / count - g_mean * g_mean
+    # E[x^2]-E[x]^2 can go slightly negative in fp32 for large mean/std
+    # ratios; clamp so rsqrt never sees a negative operand.
+    g_var = jnp.maximum(g_sumsq / count - g_mean * g_mean, 0.0)
     g_rstd = jax.lax.rsqrt(g_var + eps)
     mean_c = jax.lax.dot(g_mean, gmap_ref[:], preferred_element_type=jnp.float32)
     rstd_c = jax.lax.dot(g_rstd, gmap_ref[:], preferred_element_type=jnp.float32)
@@ -129,7 +131,10 @@ def _reference_group_norm(x, scale, bias, groups, eps, act):
     g_sum = s.reshape(b, groups, gc).sum(-1)     # [B, G] (tiny)
     g_sumsq = ss.reshape(b, groups, gc).sum(-1)
     g_mean = g_sum / n
-    g_var = g_sumsq / n - jnp.square(g_mean)
+    # one-pass E[x^2]-E[x]^2 can cancel to a small negative in fp32 for
+    # large mean/std ratios (e.g. mean 5000 / std 0.1) — clamp like
+    # FusedLayerNorm does, or rsqrt returns NaN and poisons the forward.
+    g_var = jnp.maximum(g_sumsq / n - jnp.square(g_mean), 0.0)
     g_rstd = jax.lax.rsqrt(g_var + eps)
 
     # per-channel affine folded into one multiply-add: y = x*w + b2

@@ -38,7 +38,23 @@ def build_parser(task: str, default_output: str) -> argparse.ArgumentParser:
                         "(fits single 16GB chips at 256px batch 8)")
     p.add_argument("--nan_guard", default="apply_if_finite",
                    choices=["apply_if_finite", "zero_grads"])
+    p.add_argument("--base_model", default="sd15",
+                   choices=["sd15", "sdxl", "tiny_sd", "tiny_sdxl"],
+                   help="Model stack to fine-tune (reference --base_model, "
+                        "train_denoising.py:950,:531-594; tiny_* are the "
+                        "test configs). The inpaint task forces the 9-ch "
+                        "SD1.5 inpaint UNet when sd15 is selected.")
     return p
+
+
+def resolve_model_config(base_model: str, task: str):
+    """Map the --base_model choice to an SDModelConfig (None = task default,
+    which is the SD1.5 stack from tasks/registry.py)."""
+    from image_restoration_and_enhancement_tpu import config as C
+
+    if base_model == "sd15":
+        return None
+    return {"sdxl": C.SDXL, "tiny_sd": C.TINY_SD, "tiny_sdxl": C.TINY_SDXL}[base_model]
 
 
 def run(task: str, default_output: str) -> None:
@@ -69,5 +85,6 @@ def run(task: str, default_output: str) -> None:
         max_val_samples=args.max_val_samples,
         use_mesh=not args.no_mesh,
         resume=args.resume,
+        model_config=resolve_model_config(args.base_model, task),
     )
     print({k: round(v, 4) for k, v in metrics.items()})

@@ -56,3 +56,17 @@ def test_groupnorm_bf16_io():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=0.05
     )
+
+
+def test_groupnorm_large_mean_no_nan():
+    """One-pass E[x^2]-E[x]^2 can cancel negative in fp32 at large
+    mean/std ratios (ADVICE r1: mean 5000 / std 0.1 gave var=-26 ->
+    rsqrt NaN). Both the XLA path and the pallas kernel must clamp."""
+    import jax
+    key = jax.random.PRNGKey(0)
+    x = 5000.0 + 0.1 * jax.random.normal(key, (2, 8, 8, 16))
+    scale, bias = jnp.ones(16), jnp.zeros(16)
+    y = group_norm(x, scale, bias, groups=4)
+    assert np.isfinite(np.asarray(y)).all()
+    y2 = group_norm(x, scale, bias, groups=4, backend="pallas_interpret")
+    assert np.isfinite(np.asarray(y2)).all()

@@ -78,3 +78,52 @@ def test_numpy_input_accepted(pipeline, rng):
     arr = (rng.random((24, 24, 3)) * 255).astype(np.uint8)
     out = pipeline.denoise(arr, strength=0.3)
     assert isinstance(out, Image.Image)
+
+
+def test_diffusion_backend_without_weights_is_hard_error():
+    """backend='diffusion' with no checkpoint anywhere must raise, never
+    silently serve a random-init UNet (reference always has hub weights;
+    inference.py:62-83)."""
+    p = RestorationPipeline(
+        config={"denoise": {"fine_tuned_dir": "nonexistent",
+                            "default_backend": "diffusion"}}
+    )
+    with pytest.raises(RuntimeError, match="diffusion"):
+        p._load_stack("denoise")
+
+
+def test_pretrained_dir_loads_stack(tmp_path):
+    """pretrained_dir pointing at one of our pipeline checkpoints must load
+    in pretrained mode (reference pretrained_id path, inference.py:139-197)."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_restoration_and_enhancement_tpu import config as C
+    from image_restoration_and_enhancement_tpu.core import checkpoint as ckpt
+    from image_restoration_and_enhancement_tpu.core import sampling
+
+    modules = sampling.SDModules.create(C.TINY_SD, dtype=jnp.float32)
+    params = sampling.init_params(modules, jax.random.PRNGKey(0), image_size=64)
+    pdir = str(tmp_path / "pretrained_sd")
+    ckpt.save_pipeline(pdir, params, C.TINY_SD)
+
+    from image_restoration_and_enhancement_tpu.tasks import registry
+    import dataclasses as dc
+
+    tiny_spec = dc.replace(registry.get_task("denoise"), model_config=C.TINY_SD)
+    p = RestorationPipeline(
+        config={"denoise": {"fine_tuned_dir": "nonexistent",
+                            "pretrained_dir": pdir,
+                            "default_backend": "diffusion"}},
+        dtype=jnp.float32,
+    )
+    # patch the spec so the tiny checkpoint matches the model config
+    import image_restoration_and_enhancement_tpu.infer.pipeline as pl
+    orig = registry.TASKS["denoise"]
+    registry.TASKS["denoise"] = tiny_spec
+    try:
+        stack = p._load_stack("denoise")
+    finally:
+        registry.TASKS["denoise"] = orig
+    assert stack is not None
+    assert "unet" in stack["params"]

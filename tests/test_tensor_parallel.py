@@ -128,3 +128,52 @@ def test_sharded_img2img_serving_dp_tp():
         out = fn(shard_params(params), image, ctx, None, key)
     assert out.shape == (4, 64, 64, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cfg_interleaved_matches_halves():
+    """The interleaved CFG layout (chip-local pairs for sharded serving)
+    must be bitwise-identical to the default halves layout."""
+    modules = sampling.SDModules.create(C.TINY_SD, dtype=jnp.float32,
+                                        attention_backend="xla")
+    params = sampling.init_params(modules, jax.random.PRNGKey(0), image_size=64)
+    key = jax.random.PRNGKey(5)
+    image = jax.random.uniform(key, (4, 64, 64, 3), minval=-1.0, maxval=1.0)
+    ctx = sampling.encode_text(modules, params, jnp.zeros((4, 77), jnp.int32))
+    un = sampling.encode_text(modules, params, jnp.ones((4, 77), jnp.int32))
+    f_h = sampling.make_img2img_fn(modules, 3, 0.8, 7.5, jit=False)
+    f_i = sampling.make_img2img_fn(modules, 3, 0.8, 7.5, jit=False,
+                                   cfg_layout="interleaved")
+    np.testing.assert_array_equal(
+        np.asarray(f_h(params, image, ctx, un, key)),
+        np.asarray(f_i(params, image, ctx, un, key)),
+    )
+
+
+def test_sharded_img2img_dp_has_no_collectives():
+    """Pure-DP serving must compile to ZERO inter-chip communication: the
+    interleaved CFG layout keeps each image's uncond/cond pair chip-local
+    (the halves layout compiles to ~50 all-to-alls in the denoise loop)."""
+    import re
+    from collections import Counter
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    modules = sampling.SDModules.create(C.TINY_SD, dtype=jnp.float32,
+                                        attention_backend="xla")
+    params = sampling.init_params(modules, jax.random.PRNGKey(0), image_size=64)
+    mesh = meshlib.make_mesh((8,), ("data",))
+    batch_sh = NamedSharding(mesh, P("data"))
+    params_s = meshlib.replicate(params, mesh)
+    image = jax.device_put(jnp.zeros((8, 64, 64, 3)), batch_sh)
+    ctx = jax.device_put(
+        jnp.zeros((8, 77, C.TINY_SD.unet.cross_attention_dim)), batch_sh)
+    f_i = sampling.make_img2img_fn(modules, 3, 0.8, 7.5, jit=False,
+                                   cfg_layout="interleaved")
+    txt = (
+        jax.jit(f_i, out_shardings=batch_sh)
+        .lower(params_s, image, ctx, ctx, jax.random.PRNGKey(1))
+        .compile().as_text()
+    )
+    colls = Counter(re.findall(
+        r"\b(all-reduce|all-gather|all-to-all|collective-permute|reduce-scatter)\b",
+        txt))
+    assert not colls, f"unexpected collectives in DP serving HLO: {colls}"

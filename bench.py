@@ -40,6 +40,15 @@ def main():
     size = int(os.environ.get("BENCH_SIZE", "512"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
 
+    # Int8 serving path (ops/quant.py) is the shipping default: measured
+    # 3.65 vs 3.20 img/s bf16 on v5e, quality-gated by
+    # scripts/eval_quant_quality.py. BENCH_QUANT=none reverts to bf16.
+    quant_env = os.environ.get("BENCH_QUANT", os.environ.get("IRET_QUANT", "int8"))
+    if quant_env and quant_env != "none":
+        os.environ["IRET_QUANT"] = quant_env
+    else:
+        os.environ.pop("IRET_QUANT", None)
+
     platform = jax.devices()[0].platform
     attn_backend = os.environ.get("BENCH_ATTN") or None
     modules = sampling.SDModules.create(

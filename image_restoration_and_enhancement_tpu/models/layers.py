@@ -6,6 +6,7 @@ native (HWIO convs); the checkpoint importer owns the torch->flax mapping.
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Callable, Optional
 
@@ -13,8 +14,17 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops import quant
 from ..ops.attention import attention as fused_attention
 from ..ops.groupnorm import group_norm as fused_group_norm
+
+# Quant-aware layer constructors: identical params/behavior to nn.Conv /
+# nn.Dense (bf16), except that when the int8 serving mode is on at trace
+# time (ops/quant.py) the matmul/conv runs s8xs8 on the MXU. Used for every
+# FLOP-heavy projection in the UNet blocks; IO convs and the time-embedding
+# MLP stay full precision (models/unet.py).
+QConv = functools.partial(nn.Conv, conv_general_dilated=quant.conv_general_dilated)
+QDense = functools.partial(nn.Dense, dot_general=quant.dot_general)
 
 
 class FusedGroupNorm(nn.Module):
@@ -126,7 +136,7 @@ class ResnetBlock2D(nn.Module):
         residual = x
         h = FusedGroupNorm(self.groups, eps=self.eps, act="silu", dtype=self.dtype,
                            name="norm1")(x)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         if self.use_time_emb and t_emb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 nn.silu(t_emb)
@@ -134,9 +144,9 @@ class ResnetBlock2D(nn.Module):
             h = h + t[:, None, None, :]
         h = FusedGroupNorm(self.groups, eps=self.eps, act="silu", dtype=self.dtype,
                            name="norm2")(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:
-            residual = nn.Conv(
+            residual = QConv(
                 self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
             )(residual)
         return residual + h
@@ -148,7 +158,7 @@ class Downsample2D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.Conv(
+        return QConv(
             self.out_channels, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype, name="conv"
         )(x)
 
@@ -160,7 +170,7 @@ class Upsample2D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nearest_upsample_2x(x)
-        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        return QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
 
 
 class CrossAttention(nn.Module):
@@ -180,15 +190,15 @@ class CrossAttention(nn.Module):
         inner = self.heads * self.head_dim
         b, nq, _ = x.shape
         nk = ctx.shape[1]
-        q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_v")(ctx)
+        q = QDense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")(x)
+        k = QDense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_k")(ctx)
+        v = QDense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_v")(ctx)
         q = q.reshape(b, nq, self.heads, self.head_dim)
         k = k.reshape(b, nk, self.heads, self.head_dim)
         v = v.reshape(b, nk, self.heads, self.head_dim)
         o = fused_attention(q, k, v, backend=self.attention_backend)
         o = o.reshape(b, nq, inner)
-        return nn.Dense(inner, use_bias=self.out_bias, dtype=self.dtype, name="to_out")(o)
+        return QDense(inner, use_bias=self.out_bias, dtype=self.dtype, name="to_out")(o)
 
 
 class GEGLUFeedForward(nn.Module):
@@ -201,10 +211,10 @@ class GEGLUFeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         inner = self.dim * self.mult
-        h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+        h = QDense(inner * 2, dtype=self.dtype, name="proj_in")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         h = h * nn.gelu(gate)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
+        return QDense(self.dim, dtype=self.dtype, name="proj_out")(h)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -266,9 +276,9 @@ class Transformer2D(nn.Module):
         x = FusedGroupNorm(self.groups, eps=1e-6, dtype=self.dtype, name="norm")(x)
         if self.use_linear_projection:
             x = x.reshape(b, h * w, c)
-            x = nn.Dense(c, dtype=self.dtype, name="proj_in")(x)
+            x = QDense(c, dtype=self.dtype, name="proj_in")(x)
         else:
-            x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(x)
+            x = QConv(c, (1, 1), dtype=self.dtype, name="proj_in")(x)
             x = x.reshape(b, h * w, c)
         for i in range(self.depth):
             x = BasicTransformerBlock(
@@ -278,11 +288,11 @@ class Transformer2D(nn.Module):
             )(x, context, cfg_dedup=(cfg_dedup and i == 0))
         out_b = 2 * b if cfg_dedup else b
         if self.use_linear_projection:
-            x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+            x = QDense(c, dtype=self.dtype, name="proj_out")(x)
             x = x.reshape(out_b, h, w, c)
         else:
             x = x.reshape(out_b, h, w, c)
-            x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+            x = QConv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
         if cfg_dedup:
             residual = jnp.concatenate([residual, residual], axis=0)
         return x + residual

@@ -1,0 +1,169 @@
+"""Int8 (w8a8) serving path: drop-in quantized conv / dot primitives.
+
+The 512px serving loop is FLOP-bound: its convs run at ~98% of the bf16
+MXU peak and the whole-program bf16 FLOP floor is ~4.8 img/s/chip
+(docs/STATUS.md), so the only lever past ~6x the A100 baseline is the int8
+MXU rate. Measured on this v5e via scripts/probe_int8.py: s8xs8 matmul
+244 TOPS (1.66x bf16), s8xs8 conv ~1.3x at SD shapes.
+
+Design (TPU/XLA):
+- Quantization lives INSIDE the jitted graph as custom `dot_general` /
+  `conv_general_dilated` callables injected into flax nn.Dense / nn.Conv —
+  the param tree (bf16 kernels) is completely unchanged, so checkpoints,
+  importers and the training path are untouched.
+- Weights: symmetric per-output-channel int8 (absmax / 127). The
+  quantize-weights subgraph depends only on loop-invariant params, so XLA
+  hoists it out of the sampling `lax.scan` (verified in HLO: the while
+  body reads the pre-quantized s8 constants).
+- Activations: dynamic symmetric per-tensor int8 — one absmax reduce per
+  layer input, fused by XLA into the preceding elementwise chain.
+- Accumulation in int32 on the MXU, rescale by (act_scale * w_scale[oc])
+  in fp32, cast back to the layer dtype. Bias/norms stay fp32/bf16.
+
+Mode is read at TRACE time (like every IRET_* knob): IRET_QUANT=int8, or
+programmatically via `quant_mode("int8")` around function construction.
+
+The reference has no quantized path (fp16 torch end to end); this is a
+beyond-reference serving feature, quality-gated by scripts/eval harness —
+see tests/test_quant.py for the numeric gates.
+"""
+from __future__ import annotations
+
+import contextlib
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_MODE_OVERRIDE: Optional[str] = None
+
+
+def current_mode() -> Optional[str]:
+    if _MODE_OVERRIDE is not None:
+        return _MODE_OVERRIDE or None
+    m = os.environ.get("IRET_QUANT", "")
+    return m or None
+
+
+@contextlib.contextmanager
+def quant_mode(mode: Optional[str]):
+    """Set the quantization mode for functions TRACED inside the context.
+    (Already-jitted functions keep the mode they were traced with.)"""
+    global _MODE_OVERRIDE
+    prev = _MODE_OVERRIDE
+    _MODE_OVERRIDE = mode or ""
+    try:
+        yield
+    finally:
+        _MODE_OVERRIDE = prev
+
+
+_EPS = 1e-8
+
+
+def _quantize_per_tensor(x: jnp.ndarray):
+    """Dynamic symmetric per-tensor int8. Returns (x_q, scale_f32)."""
+    s = jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0
+    s = jnp.maximum(s, _EPS)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _quantize_weight_out_channel(w: jnp.ndarray):
+    """Symmetric per-output-channel int8; out channel = last axis.
+    Returns (w_q, scale_f32[out])."""
+    reduce_axes = tuple(range(w.ndim - 1))
+    s = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=reduce_axes) / 127.0
+    s = jnp.maximum(s, _EPS)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def conv_general_dilated(
+    lhs,
+    rhs,
+    window_strides,
+    padding,
+    lhs_dilation=None,
+    rhs_dilation=None,
+    dimension_numbers=None,
+    feature_group_count=1,
+    precision=None,
+    **kwargs,
+):
+    """Drop-in for lax.conv_general_dilated; int8 path when enabled.
+
+    Falls through to the bf16/fp32 lax conv when quantization is off or the
+    call shape isn't the standard NHWC/HWIO dense conv."""
+    plain = lambda: lax.conv_general_dilated(
+        lhs, rhs, window_strides, padding,
+        lhs_dilation=lhs_dilation, rhs_dilation=rhs_dilation,
+        dimension_numbers=dimension_numbers,
+        feature_group_count=feature_group_count, precision=precision,
+        **kwargs,
+    )
+    if current_mode() != "int8":
+        return plain()
+    if feature_group_count != 1 or not jnp.issubdtype(lhs.dtype, jnp.floating):
+        return plain()
+    if lhs_dilation is not None and any(d != 1 for d in lhs_dilation):
+        return plain()
+    if rhs_dilation is not None and any(d != 1 for d in rhs_dilation):
+        return plain()
+
+    xq, sx = _quantize_per_tensor(lhs)
+    wq, sw = _quantize_weight_out_channel(rhs)  # HWIO -> scale [O]
+
+    # IRET_CONV_KERNEL=1: route 3x3/stride-1/SAME convs through the
+    # implicit-GEMM Pallas kernel (ops/conv_int8.py) — nine accumulated MXU
+    # matmuls at the s8 matmul rate instead of XLA's slower s8 conv lowering.
+    pad_tuple = tuple(map(tuple, padding)) if not isinstance(padding, str) else padding
+    if (
+        os.environ.get("IRET_CONV_KERNEL") == "1"
+        and rhs.shape[:2] == (3, 3)
+        and tuple(window_strides) == (1, 1)
+        and pad_tuple in (((1, 1), (1, 1)), "SAME")
+        and lhs.ndim == 4
+    ):
+        from . import conv_int8
+
+        xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        return conv_int8.conv3x3_same_int8(
+            xp, wq, sx * sw, out_dtype=lhs.dtype
+        )
+
+    acc = lax.conv_general_dilated(
+        xq, wq, window_strides, padding,
+        dimension_numbers=dimension_numbers,
+        feature_group_count=1,
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (sx * sw)  # broadcast over trailing O
+    return y.astype(lhs.dtype)
+
+
+def dot_general(lhs, rhs, dimension_numbers, precision=None,
+                preferred_element_type=None):
+    """Drop-in for lax.dot_general covering flax Dense's contraction
+    (((lhs.ndim-1,), (0,)), ((), ())); anything else falls through."""
+    plain = lambda: lax.dot_general(
+        lhs, rhs, dimension_numbers, precision=precision,
+        preferred_element_type=preferred_element_type,
+    )
+    if current_mode() != "int8":
+        return plain()
+    expected = (((lhs.ndim - 1,), (0,)), ((), ()))
+    if dimension_numbers != expected:
+        return plain()
+    if not jnp.issubdtype(lhs.dtype, jnp.floating) or rhs.ndim != 2:
+        return plain()
+
+    xq, sx = _quantize_per_tensor(lhs)
+    wq, sw = _quantize_weight_out_channel(rhs)  # [I, O] -> scale [O]
+    acc = lax.dot_general(
+        xq, wq, dimension_numbers, preferred_element_type=jnp.int32
+    )
+    y = acc.astype(jnp.float32) * (sx * sw)
+    return y.astype(lhs.dtype)

@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Quality gate for the int8 serving path (ops/quant.py).
+
+Runs the SAME weights through the img2img pipeline with quant off and on,
+on real val pairs, and reports (a) PSNR/SSIM of each mode vs ground truth
+and (b) PSNR between the two outputs (the int8-induced delta). The int8
+path ships only while the bf16<->int8 output PSNR stays high and the
+gt-metrics delta is within noise (VERDICT r1 #1: "quality-gated via the
+existing PSNR/SSIM eval harness").
+
+Usage (defaults match the round-2 real training run):
+    python scripts/eval_quant_quality.py \
+        --checkpoint outputs/models/denoising_realrun/best \
+        --pairs data/pairs/denoise/val --n 8 --size 256
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from image_restoration_and_enhancement_tpu import config as C
+from image_restoration_and_enhancement_tpu.core import checkpoint as ckpt
+from image_restoration_and_enhancement_tpu.core import sampling
+from image_restoration_and_enhancement_tpu.metrics import functional as F
+from image_restoration_and_enhancement_tpu.models.tokenizer import load_tokenizer
+from image_restoration_and_enhancement_tpu.ops import quant
+from image_restoration_and_enhancement_tpu.tasks.registry import get_task
+
+
+def load_batch(pairs_dir: str, n: int, size: int):
+    in_dir, gt_dir = os.path.join(pairs_dir, "input"), os.path.join(pairs_dir, "gt")
+    names = sorted(os.listdir(in_dir))[:n]
+    def rd(d, name):
+        img = Image.open(os.path.join(d, name)).convert("RGB").resize((size, size))
+        return np.asarray(img, np.float32) / 127.5 - 1.0
+    x = np.stack([rd(in_dir, m) for m in names])
+    g = np.stack([rd(gt_dir, m) for m in names])
+    return jnp.asarray(x), jnp.asarray(g)
+
+
+def run(modules, params, ctx, un, x, steps, strength, gs, sampler, mode):
+    with quant.quant_mode(mode):
+        fn = sampling.make_img2img_fn(modules, steps, strength, gs, sampler)
+        out = fn(params, x, ctx, un, jax.random.PRNGKey(42))
+    out.block_until_ready()
+    return np.asarray(out, np.float32)  # host fetch drains the relay
+
+
+def metrics_vs(a01, b01):
+    ps, ss = [], []
+    for p, g in zip(a01, b01):
+        ps.append(float(F.psnr(jnp.asarray(p), jnp.asarray(g))))
+        ss.append(float(F.ssim(jnp.asarray(p), jnp.asarray(g))))
+    return float(np.mean(ps)), float(np.mean(ss))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", default="outputs/models/denoising_realrun/best")
+    p.add_argument("--pairs", default="data/pairs/denoise/val")
+    p.add_argument("--task", default="denoise")
+    p.add_argument("--n", type=int, default=8)
+    p.add_argument("--size", type=int, default=256)
+    args = p.parse_args()
+
+    spec = get_task(args.task)
+    modules = sampling.SDModules.create(spec.model_config, dtype=jnp.bfloat16)
+    params = ckpt.load_pipeline(args.checkpoint)
+    tok = load_tokenizer(args.checkpoint,
+                         vocab_size=spec.model_config.text_encoder.vocab_size)
+    ctx = sampling.encode_text(modules, params, jnp.asarray(tok([spec.prompt])))
+    s = spec.sampler
+    un = (sampling.encode_text(modules, params, jnp.asarray(tok([""])))
+          if s.guidance_scale > 1.0 else None)
+    x, gt = load_batch(args.pairs, args.n, args.size)
+
+    out_bf16 = run(modules, params, ctx, un, x, s.num_inference_steps,
+                   s.strength, s.guidance_scale, s.sampler, mode=None)
+    out_int8 = run(modules, params, ctx, un, x, s.num_inference_steps,
+                   s.strength, s.guidance_scale, s.sampler, mode="int8")
+
+    b01 = (out_bf16 + 1) / 2
+    q01 = (out_int8 + 1) / 2
+    g01 = (np.asarray(gt) + 1) / 2
+    p_b, s_b = metrics_vs(b01, g01)
+    p_q, s_q = metrics_vs(q01, g01)
+    p_x, s_x = metrics_vs(q01, b01)
+    print(f"bf16  vs gt   : psnr {p_b:7.3f}  ssim {s_b:.4f}")
+    print(f"int8  vs gt   : psnr {p_q:7.3f}  ssim {s_q:.4f}")
+    print(f"int8  vs bf16 : psnr {p_x:7.3f}  ssim {s_x:.4f}")
+    print(f"gt-psnr delta (bf16 - int8): {p_b - p_q:+.4f} dB")
+
+
+if __name__ == "__main__":
+    main()

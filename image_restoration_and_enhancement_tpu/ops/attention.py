@@ -106,6 +106,12 @@ def _fused_attention_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int,
         q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [block_q, Nkp] fp32
+    # IRET_ATTN_SCORES_BF16=1: keep the VMEM-resident score block in bf16 —
+    # the kernel is VPU/VMEM-bound on the max/exp/sum passes at large Nk
+    # and this halves their bytes. Costs ~3e-3 absolute score error
+    # (softmax is shift-invariant so the max pass is unaffected).
+    if os.environ.get("IRET_ATTN_SCORES_BF16") == "1":
+        s = s.astype(jnp.bfloat16)
     nkp = s.shape[-1]
     if kv_len < nkp:  # mask zero-padded K columns (static)
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -352,6 +358,122 @@ def pallas_attention_packed_grid(
     return out[:, :nq] if nqp != nq else out
 
 
+def _flash_attention_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+                            *, kv_len: int, block_k: int, n_chunks: int):
+    """Flash-style online-softmax chunk step for one (bh, q_block).
+
+    The single-pass kernel above is VPU-bound at Nk=4096: each softmax
+    statistic is a pass over the full [block_q, Nk] score matrix while the
+    MXU waits. Here KV is chunked along the (sequential) innermost grid dim
+    and softmax runs per [block_q, block_k] tile with running (m, l, acc)
+    scratch carried across chunks — Mosaic software-pipelines consecutive
+    grid cells, overlapping chunk j's VPU softmax with chunk j+1's MXU
+    matmuls. Standard online-softmax rescale (exp(m_prev - m_new)) keeps
+    the result exact."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [block_q, block_k] fp32
+    if kv_len % block_k:  # mask padded KV columns (static: no-op when aligned)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+        s = jnp.where(col < kv_len, s, -jnp.inf)
+    m_prev = m_scr[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_scr[:, :1] = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:, :1] = m_new
+
+    @pl.when(j == n_chunks - 1)
+    def _finish():
+        o_ref[0] = (
+            acc_scr[:] * pl.reciprocal(l_scr[:, :1], approx=False)
+        ).astype(o_ref.dtype)
+
+
+def _pallas_flash_bhnd(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Flash-chunked attention on [BH, N, D]; exact, for large Nk."""
+    bh, nq, d = q.shape
+    nk = k.shape[1]
+    scale = 1.0 / (d**0.5)
+
+    dp = _round_up(d, _LANE)
+    block_q = int(os.environ.get("IRET_FLASH_BLOCK_Q", "512"))
+    block_q = min(block_q, _round_up(nq, 8))
+    block_k = int(os.environ.get("IRET_FLASH_BLOCK_K", "1024"))
+    block_k = min(block_k, _round_up(nk, _LANE))
+    nqp = _round_up(nq, block_q)
+    nkp = _round_up(nk, block_k)
+    n_chunks = nkp // block_k
+
+    qp = jnp.pad((q * jnp.asarray(scale, q.dtype)),
+                 ((0, 0), (0, nqp - nq), (0, dp - d)))
+    kp = jnp.pad(k, ((0, 0), (0, nkp - nk), (0, dp - d)))
+    vp = jnp.pad(v, ((0, 0), (0, nkp - nk), (0, dp - d)))
+
+    grid = (bh, nqp // block_q, n_chunks)
+    out = pl.pallas_call(
+        functools.partial(_flash_attention_kernel, kv_len=nk,
+                          block_k=block_k, n_chunks=n_chunks),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dp), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dp), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dp), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, nqp, dp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANE), jnp.float32),  # running max
+            pltpu.VMEM((block_q, _LANE), jnp.float32),  # running sum
+            pltpu.VMEM((block_q, dp), jnp.float32),     # output accumulator
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * nqp * nkp * dp,
+            bytes_accessed=(qp.size + kp.size + vp.size) * q.dtype.itemsize,
+            transcendentals=bh * nqp * nkp,
+        ),
+    )(qp, kp, vp)
+    return out[:, :nq, :d]
+
+
+def pallas_flash_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Flash-chunked attention, [B, N, H, D] layout."""
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
+    qt = q.transpose(0, 2, 1, 3).reshape(b * h, nq, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
+    out = _pallas_flash_bhnd(qt, kt, vt, interpret=interpret)
+    return out.reshape(b, h, nq, d).transpose(0, 2, 1, 3)
+
+
 def pallas_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, interpret: bool = False
 ) -> jnp.ndarray:
@@ -422,6 +544,18 @@ def _attention_tpu_packed_fwd(q, k, v):
 _attention_tpu_packed.defvjp(_attention_tpu_packed_fwd, _attention_tpu_bwd)
 
 
+@jax.custom_vjp
+def _attention_tpu_flash(q, k, v):
+    return pallas_flash_attention(q, k, v)
+
+
+def _attention_tpu_flash_fwd(q, k, v):
+    return pallas_flash_attention(q, k, v), (q, k, v)
+
+
+_attention_tpu_flash.defvjp(_attention_tpu_flash_fwd, _attention_tpu_bwd)
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -452,7 +586,15 @@ def attention(
         # blocks resident and overflow Mosaic's 16MB scoped VMEM once the
         # grid grows past ~8 batch elements; XLA costs ~0.2% there.
         max_d = int(os.environ.get("IRET_ATTN_PALLAS_MAX_D", "384"))
-        if (_on_tpu() and min_n <= q.shape[1] <= max_n
+        # Above the single-pass window the flash-chunked kernel can take
+        # over (KV chunks + online softmax overlap MXU/VPU; see
+        # _flash_attention_kernel). 0 disables; default off until the
+        # v5e A/B lands (scripts/bench_attn.py).
+        flash_min = int(os.environ.get("IRET_ATTN_FLASH_MIN", "0"))
+        if (_on_tpu() and flash_min > 0 and q.shape[1] >= flash_min
+                and q.shape[-1] <= max_d):
+            backend = "flash"
+        elif (_on_tpu() and min_n <= q.shape[1] <= max_n
                 and q.shape[-1] <= max_d):
             backend = (
                 "pallas_packed" if os.environ.get("IRET_ATTN_PACKED") == "1"
@@ -460,6 +602,10 @@ def attention(
             )
         else:
             backend = "xla"
+    if backend == "flash":
+        return _attention_tpu_flash(q, k, v)
+    if backend == "flash_interpret":  # tests
+        return pallas_flash_attention(q, k, v, interpret=True)
     if backend == "pallas":
         return _attention_tpu(q, k, v)
     if backend == "pallas_packed":

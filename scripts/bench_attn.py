@@ -50,6 +50,7 @@ def main():
     cases = {
         "xla": jax.jit(lambda q, k, v: attn.attention(q, k, v, backend="xla")),
         "pallas": jax.jit(lambda q, k, v: attn.attention(q, k, v, backend="pallas")),
+        "flash": jax.jit(lambda q, k, v: attn.attention(q, k, v, backend="flash")),
         "packed-grid": jax.jit(
             lambda q, k, v: attn._packed_call(q, k, v, variant="grid")
         ),

@@ -97,3 +97,54 @@ def test_pallas_norm_bound_extreme(monkeypatch):
     # large logits: stays finite (no 0/0), but rows may zero out
     out2 = attn.attention(q * 12, k * 12, v, backend="pallas_interpret")
     assert np.isfinite(np.asarray(out2)).all()
+
+
+@pytest.mark.parametrize(
+    "b,nq,nk,h,d,bq,bk",
+    [
+        (1, 256, 256, 2, 40, 64, 128),   # multi-chunk online softmax
+        (1, 200, 200, 1, 80, 64, 128),   # ragged seq: padded KV cols masked
+        (2, 128, 77, 2, 40, 64, 128),    # cross-attention KV < block_k
+        (1, 128, 128, 1, 160, 128, 128), # single chunk degenerate case
+    ],
+)
+def test_flash_matches_xla(b, nq, nk, h, d, bq, bk, monkeypatch):
+    monkeypatch.setenv("IRET_FLASH_BLOCK_Q", str(bq))
+    monkeypatch.setenv("IRET_FLASH_BLOCK_K", str(bk))
+    key = jax.random.PRNGKey(1)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, nq, h, d), jnp.float32)
+    k = jax.random.normal(kk, (b, nk, h, d), jnp.float32)
+    v = jax.random.normal(kv, (b, nk, h, d), jnp.float32)
+    ref = attn.xla_attention(q, k, v)
+    out = attn.attention(q, k, v, backend="flash_interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_extreme_logits_exact(monkeypatch):
+    """Online-softmax rescale must stay exact for huge logit magnitudes."""
+    monkeypatch.setenv("IRET_FLASH_BLOCK_Q", "64")
+    monkeypatch.setenv("IRET_FLASH_BLOCK_K", "128")
+    q = jnp.full((1, 128, 1, 40), 8.0, jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(2), (1, 256, 1, 40)) * 8.0
+    v = jax.random.normal(jax.random.PRNGKey(3), (1, 256, 1, 40))
+    ref = attn.xla_attention(q, k, v)
+    out = attn.attention(q, k, v, backend="flash_interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_pallas_scores_bf16_close(monkeypatch):
+    monkeypatch.setenv("IRET_ATTN_SCORES_BF16", "1")
+    key = jax.random.PRNGKey(4)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (1, 128, 2, 40), jnp.float32)
+    k = jax.random.normal(kk, (1, 128, 2, 40), jnp.float32)
+    v = jax.random.normal(kv, (1, 128, 2, 40), jnp.float32)
+    ref = attn.xla_attention(q, k, v)
+    out = attn.attention(q, k, v, backend="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-2, rtol=5e-2)
+    err = float(jnp.abs(out - ref).max())
+    assert err < 0.02, err

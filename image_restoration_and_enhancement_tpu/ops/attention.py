@@ -474,6 +474,205 @@ def pallas_flash_attention(
     return out.reshape(b, h, nq, d).transpose(0, 2, 1, 3)
 
 
+# ---------------------------------------------------------------------------
+# Int8 attention (serving-only, part of the IRET_QUANT=int8 path)
+#
+# At the N=4096/d=40 level-0 sites the op is MXU-PADDING-bound, not only
+# softmax-bound: the QK^T contraction depth (40) and the PV output width
+# (40) each use 40/128 of the systolic array, so the padded MXU time is
+# ~3.2x the logical FLOP time (~7ms bf16 per site at CFG batch 16 — right
+# at XLA's measured 8.5ms). Quantizing Q/K to s8 halves the QK^T pass (v5e
+# int8 MXU rate ~1.55x measured), and the kernel below removes the VPU sum
+# pass by augmenting V with a ones column (the row sum rides the PV matmul
+# in the padding lanes for free) and normalizes after PV ([block_q, 128]
+# instead of [block_q, Nk]).
+#
+# Numerics (SageAttention-style): K is smoothed by subtracting its
+# per-(bh, channel) token mean before quantization — q_i . k_mean is
+# constant along each score row, so softmax is invariant, and it removes
+# the channel outliers that dominate per-tensor K scales. Quantization is
+# dynamic per-tensor symmetric s8 with the 1/sqrt(d) scale folded into Q
+# before quantization. P and V stay bf16 for the PV matmul.
+# ---------------------------------------------------------------------------
+
+
+def _smooth_quantize_qk(q: jnp.ndarray, k: jnp.ndarray):
+    """[BH, N, D] bf16 -> (q_s8, k_s8, scale_f32). Q arrives pre-scaled."""
+    kf = k.astype(jnp.float32)
+    kf = kf - jnp.mean(kf, axis=1, keepdims=True)  # softmax-invariant smooth
+    qf = q.astype(jnp.float32)
+    sq = jnp.maximum(jnp.max(jnp.abs(qf)) / 127.0, 1e-8)
+    sk = jnp.maximum(jnp.max(jnp.abs(kf)) / 127.0, 1e-8)
+    q8 = jnp.clip(jnp.round(qf / sq), -127, 127).astype(jnp.int8)
+    k8 = jnp.clip(jnp.round(kf / sk), -127, 127).astype(jnp.int8)
+    return q8, k8, (sq * sk).astype(jnp.float32)
+
+
+def _int8_attention_kernel(q_ref, k_ref, v_ref, s_ref, o_ref, *,
+                           kv_len: int, block_k: int, head_dim: int):
+    """One Q block vs all K/V for one (batch*head), KV chunked IN-CELL.
+
+    q: [block_q, Dp] s8 (pre-scaled by 1/sqrt(d), quantized)
+    k: [Nkp, Dp] s8, v: [Nkp, Dp] bf16 with v[:, head_dim] == 1 (ones
+       column: the row sum of P rides the PV matmul on the MXU)
+    s: [1, 1] f32 in SMEM — sq * sk dequant scale
+
+    The KV loop is a Python-unrolled in-cell loop (not a grid dim): chunk
+    j+1's MXU matmuls carry no dependence on chunk j's VPU softmax tail,
+    giving Mosaic's scheduler the chance to overlap them — the grid-dim
+    flash variant above measured zero overlap across cells. Online-softmax
+    rescale touches only the [block_q, Dp] accumulator, never an Nk-wide
+    tensor; the VPU work per element is one max-compare and one exp."""
+    # exp via exp2 with log2(e) folded into the dequant scale: saves one
+    # full VPU pass over every score block (the softmax is invariant — the
+    # same ones-column row sum normalizes in the exp2 domain).
+    scale2 = s_ref[0, 0] * 1.4426950408889634
+    nkp = k_ref.shape[1]
+    n_chunks = nkp // block_k
+
+    def qk(j):
+        return jax.lax.dot_general(
+            q_ref[0], k_ref[0, j * block_k:(j + 1) * block_k],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [block_q, block_k] int32
+
+    # Software pipeline: chunk j+1's QK matmul is ISSUED before chunk j's
+    # softmax tail, hoping the MXU crunches the next score block while the
+    # VPU does the current block's convert/max/exp2. MEASURED RESULT
+    # (v5e, N=4096/d=40/CFG-16): no effect — 9.76ms pipelined vs 9.67ms
+    # naive order; Mosaic/TPU gives no MXU/VPU overlap within a kernel
+    # (consistent with the flash-chunked and in-cell-chunk negatives in
+    # docs/STATUS.md). Kept because it costs nothing and the exp2 fold
+    # below is a real (small) VPU saving. XLA's own attention lowering at
+    # these shapes is a single mega-fusion (QK + softmax + PV-as-dilated-
+    # conv epilogue) running at the padded bf16 MXU floor (~7ms per site
+    # end-to-end), which no kernel formulation here has beaten.
+    s32_next = qk(0)
+    m = None
+    acc = None
+    for j in range(n_chunks):
+        s32 = s32_next
+        if j + 1 < n_chunks:
+            s32_next = qk(j + 1)  # MXU issue before this chunk's VPU work
+        s = s32.astype(jnp.float32) * scale2
+        lo = j * block_k
+        if kv_len < lo + block_k:  # mask zero-padded K columns (static)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + lo
+            s = jnp.where(col < kv_len, s, -jnp.inf)
+        m_c = jnp.max(s, axis=-1, keepdims=True)
+        if m is None:
+            m_new = m_c
+            p = jnp.exp2(s - m_new)
+            acc = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, lo:lo + block_k],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            m_new = jnp.maximum(m, m_c)
+            alpha = jnp.exp2(m - m_new)
+            p = jnp.exp2(s - m_new)
+            pv = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, lo:lo + block_k],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc * alpha + pv
+        m = m_new
+    l = acc[:, head_dim:head_dim + 1]  # ones-column row sum
+    o_ref[0] = (acc * pl.reciprocal(l, approx=False)).astype(o_ref.dtype)
+
+
+def _pallas_int8_bhnd(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Int8-QK fused attention on [BH, N, D]; serving-only."""
+    bh, nq, d = q.shape
+    nk = k.shape[1]
+    scale = 1.0 / (d**0.5)
+
+    dp = _round_up(d + 1, _LANE)  # +1: ones column for the row sum
+    block_q = _pick_block_q(nq, _round_up(nk, _LANE), dp)
+    nqp = _round_up(nq, block_q)
+    block_k = min(int(os.environ.get("IRET_ATTN_INT8_CHUNK", "1024")),
+                  _round_up(nk, _LANE))
+    nkp = _round_up(nk, block_k)
+
+    q8, k8, s_qk = _smooth_quantize_qk(q * jnp.asarray(scale, q.dtype), k)
+    qp = jnp.pad(q8, ((0, 0), (0, nqp - nq), (0, dp - d)))
+    kp = jnp.pad(k8, ((0, 0), (0, nkp - nk), (0, dp - d)))
+    vp = jnp.pad(v, ((0, 0), (0, nkp - nk), (0, dp - d)))
+    ones_col = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, dp), 2) == d)
+    vp = jnp.where(ones_col, jnp.ones((), vp.dtype), vp)
+    # zero-padded KV rows must not contribute to the row sum: unmask only
+    # real rows (the -inf score mask above handles them when block-unaligned)
+    if nkp > nk:
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, nkp, 1), 1)
+        vp = jnp.where(row < nk, vp, jnp.zeros((), vp.dtype))
+
+    grid = (bh, nqp // block_q)
+    out = pl.pallas_call(
+        functools.partial(_int8_attention_kernel, kv_len=nk,
+                          block_k=block_k, head_dim=d),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkp, dp), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkp, dp), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, nqp, dp), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * nqp * nkp * dp,
+            bytes_accessed=(qp.size + kp.size + 2 * vp.size),
+            transcendentals=bh * nqp * nkp,
+        ),
+    )(qp, kp, vp, s_qk.reshape(1, 1))
+    return out[:, :nq, :d]
+
+
+def pallas_int8_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Int8-QK fused attention, [B, N, H, D] layout (serving-only)."""
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
+    qt = q.transpose(0, 2, 1, 3).reshape(b * h, nq, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
+    out = _pallas_int8_bhnd(qt, kt, vt, interpret=interpret)
+    return out.reshape(b, h, nq, d).transpose(0, 2, 1, 3)
+
+
+def xla_attention_int8(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """XLA attention with s8 QK^T: halves the dominant (padding-bound) QK
+    matmul while keeping XLA's pattern-matched softmax lowering intact
+    (the bf16-scores experiment showed hand-rolled softmax loses more than
+    it saves). [B, N, H, D] layout."""
+    b, nq, h, d = q.shape
+    scale = 1.0 / (d**0.5)
+    qt = (q * jnp.asarray(scale, q.dtype)).transpose(0, 2, 1, 3).reshape(b * h, nq, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * h, k.shape[1], d)
+    q8, k8, s_qk = _smooth_quantize_qk(qt, kt)
+    s32 = jax.lax.dot_general(
+        q8, k8, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.int32
+    )  # [BH, Nq, Nk]
+    p = jax.nn.softmax(s32.astype(jnp.float32) * s_qk, axis=-1)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * h, k.shape[1], d)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), vt, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    return o.reshape(b, h, nq, d).transpose(0, 2, 1, 3).astype(q.dtype)
+
+
 def pallas_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, interpret: bool = False
 ) -> jnp.ndarray:
@@ -556,6 +755,18 @@ def _attention_tpu_flash_fwd(q, k, v):
 _attention_tpu_flash.defvjp(_attention_tpu_flash_fwd, _attention_tpu_bwd)
 
 
+@jax.custom_vjp
+def _attention_tpu_int8(q, k, v):
+    return pallas_int8_attention(q, k, v)
+
+
+def _attention_tpu_int8_fwd(q, k, v):
+    return pallas_int8_attention(q, k, v), (q, k, v)
+
+
+_attention_tpu_int8.defvjp(_attention_tpu_int8_fwd, _attention_tpu_bwd)
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -606,6 +817,12 @@ def attention(
         return _attention_tpu_flash(q, k, v)
     if backend == "flash_interpret":  # tests
         return pallas_flash_attention(q, k, v, interpret=True)
+    if backend == "int8":
+        return _attention_tpu_int8(q, k, v)
+    if backend == "int8_interpret":  # tests
+        return pallas_int8_attention(q, k, v, interpret=True)
+    if backend == "xla_int8":
+        return xla_attention_int8(q, k, v)
     if backend == "pallas":
         return _attention_tpu(q, k, v)
     if backend == "pallas_packed":

@@ -83,7 +83,11 @@ def conv3x3_same_int8(
     s = wp  # padded row stride
 
     m_total = h * s
-    halo = 2 * s + 2
+    # int8 DMAs whose row count is not a multiple of the 32-row sublane
+    # packing crash the Mosaic compiler (bisected on v5e: 32-multiple copies
+    # compile, 390-row copies kill tpu_compile_helper) — round the halo up;
+    # the taps only ever read the first 2s+2 of it.
+    halo = _round_up(2 * s + 2, 32)
     tile_m = int(os.environ.get("IRET_CONV_TILE_M", "512"))
     tile_m = min(tile_m, _round_up(m_total, 8))
     m_tiles = pl.cdiv(m_total, tile_m)
@@ -98,6 +102,14 @@ def conv3x3_same_int8(
     tile_n = min(tile_n, n)
     n_tiles = pl.cdiv(n, tile_n)
     w_flat = w_q.reshape(9, c, n)
+    # int8 DMAs also require the lane axis to be a 128-multiple (same
+    # Mosaic bisect as the halo note above: c=384 compiles, c=320/64 crash).
+    # Zero channel padding is exact for the int32 accumulation.
+    cp_ = _round_up(c, 128)
+    if cp_ != c:
+        x_flat = jnp.pad(x_flat, ((0, 0), (0, 0), (0, cp_ - c)))
+        w_flat = jnp.pad(w_flat, ((0, 0), (0, cp_ - c), (0, 0)))
+        c = cp_
 
     out = pl.pallas_call(
         functools.partial(_kernel, tile_m=tile_m, halo=halo, stride_s=s,

@@ -51,6 +51,8 @@ def main():
         "xla": jax.jit(lambda q, k, v: attn.attention(q, k, v, backend="xla")),
         "pallas": jax.jit(lambda q, k, v: attn.attention(q, k, v, backend="pallas")),
         "flash": jax.jit(lambda q, k, v: attn.attention(q, k, v, backend="flash")),
+        "int8": jax.jit(lambda q, k, v: attn.attention(q, k, v, backend="int8")),
+        "xla_int8": jax.jit(lambda q, k, v: attn.attention(q, k, v, backend="xla_int8")),
         "packed-grid": jax.jit(
             lambda q, k, v: attn._packed_call(q, k, v, variant="grid")
         ),

@@ -70,11 +70,69 @@ def run_and_trace():
     out = fn(params, image, ctx, ctx, key)  # compile+warm
     _ = float(jnp.mean(out))
 
+    # dump the HLO of the SAME executable so trace fusion names can be
+    # categorized by their actual content (fusion numbering is per-compile;
+    # a separate dump_hlo.py run does not line up)
+    try:
+        txt = fn.lower(params, image, ctx, ctx, key).compile().as_text()
+        with open("/tmp/trace_loop_hlo.txt", "w") as f:
+            f.write(txt)
+    except Exception as e:  # noqa: BLE001
+        print(f"(hlo dump failed: {e})")
+
     os.system(f"rm -rf {TRACE_DIR}")
     with jax.profiler.trace(TRACE_DIR):
         out = fn(params, out, ctx, ctx, key)
         _ = float(jnp.mean(out))
     return batch, steps
+
+
+def build_hlo_category_map(path="/tmp/trace_loop_hlo.txt"):
+    """fusion/op name -> category, from the executable's own HLO text.
+
+    A fusion's category comes from its called computation's body ops:
+    convolution > dot > exp(softmax) > reduce > copy/transpose > other."""
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        txt = f.read()
+    import re as _re
+    # computation name -> body text
+    comps = {}
+    for m in _re.finditer(r"^%?([\w.\-]+) \([^)]*\) -> [^{]+\{(.*?)^\}",
+                          txt, _re.M | _re.S):
+        comps[m.group(1)] = m.group(2)
+    name_cat = {}
+    for m in _re.finditer(
+            r"%([\w.\-]+) = [^\n]*? fusion\(([^)]*)\)[^\n]*?calls=%([\w.\-]+)",
+            txt):
+        name, _, comp = m.groups()
+        body = comps.get(comp, "")
+        if " convolution(" in body or "%convolution" in body:
+            cat = "conv(+fused-epilogue)"
+        elif "dot(" in body:
+            cat = "matmul(+fused-epilogue)"
+        elif "exponential(" in body:
+            cat = "softmax/exp"
+        elif "round-nearest" in body or ("convert" in body and "s8" in body):
+            cat = "quantize"
+        elif "reduce(" in body or "reduce-window" in body:
+            cat = "reduce(stats/absmax)"
+        elif "transpose(" in body or "copy(" in body:
+            cat = "copy/transpose"
+        else:
+            cat = "elementwise"
+        name_cat[name] = cat
+    # non-fusion standalone ops
+    for m in _re.finditer(r"%([\w.\-]+) = [^\n]*? (convolution|dot|copy|"
+                          r"transpose|reduce|exponential)\(", txt):
+        name, op = m.groups()
+        name_cat.setdefault(name, {
+            "convolution": "conv(+fused-epilogue)", "dot": "matmul(+fused-epilogue)",
+            "copy": "copy/transpose", "transpose": "copy/transpose",
+            "reduce": "reduce(stats/absmax)", "exponential": "softmax/exp",
+        }[op])
+    return name_cat
 
 
 def analyze(batch, steps):
@@ -101,6 +159,8 @@ def analyze(batch, steps):
                                              or "Steps" not in tname):
                 op_tids.add((e["pid"], e["tid"]))
 
+    hlo_cat = build_hlo_category_map()
+
     cat_time = collections.Counter()
     op_time = collections.Counter()
     total = 0.0
@@ -114,18 +174,23 @@ def analyze(batch, steps):
         name = e.get("name", "")
         if not name or name.startswith("Steps"):
             continue
-        cat_time[categorize(name)] += dur
+        if name.startswith("jit_") or name.startswith("while") or \
+                name.startswith("body") or name.startswith("condition"):
+            continue  # parent spans double-count their children
+        cat = hlo_cat.get(name.lstrip("%")) or categorize(name)
+        cat_time[cat] += dur
         op_time[name] += dur
         total += dur
 
-    print(f"\n=== device op time, one img2img call "
-          f"(batch {batch}, {steps} steps) ===")
+    print(f"\n=== device op time by HLO content, one img2img call "
+          f"(batch {batch}, {steps} steps; parent spans excluded) ===")
     for cat, t in cat_time.most_common():
         print(f"{cat:28s} {t*1e3:9.2f} ms  {100*t/max(total,1e-9):5.1f}%")
     print(f"{'TOTAL':28s} {total*1e3:9.2f} ms")
-    print("\n--- top 25 ops ---")
-    for name, t in op_time.most_common(25):
-        print(f"{t*1e3:9.2f} ms  {name[:110]}")
+    print("\n--- top 30 ops ---")
+    for name, t in op_time.most_common(30):
+        print(f"{t*1e3:9.2f} ms  [{hlo_cat.get(name.lstrip('%'), '?'):>22s}] "
+              f"{name[:80]}")
 
 
 if __name__ == "__main__":

@@ -148,3 +148,50 @@ def test_pallas_scores_bf16_close(monkeypatch):
                                atol=5e-2, rtol=5e-2)
     err = float(jnp.abs(out - ref).max())
     assert err < 0.02, err
+
+
+def test_int8_attention_close():
+    """Int8-QK kernel (interpret) and the XLA s8 variant vs full-precision
+    reference: quantization noise bounded, and the two int8 formulations
+    agree with each other (same quantized operands)."""
+    key = jax.random.PRNGKey(5)
+    kq, kk, kv = jax.random.split(key, 3)
+    for (b, n, h, d, nk) in [(2, 256, 4, 40, 256), (1, 100, 2, 40, 77)]:
+        q = jax.random.normal(kq, (b, n, h, d), jnp.float32)
+        k = jax.random.normal(kk, (b, nk, h, d), jnp.float32) + 0.3
+        v = jax.random.normal(kv, (b, nk, h, d), jnp.float32)
+        ref = attn.xla_attention(q, k, v)
+        got_pl = attn.attention(q, k, v, backend="int8_interpret")
+        got_xla = attn.attention(q, k, v, backend="xla_int8")
+        rel = float(jnp.linalg.norm(got_pl - ref) / jnp.linalg.norm(ref))
+        assert rel < 0.03, rel
+        np.testing.assert_allclose(np.asarray(got_pl), np.asarray(got_xla),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_int8_attention_k_smoothing_invariance():
+    """K token-mean smoothing must be output-invariant (softmax shift):
+    adding a constant vector to every K token changes nothing."""
+    key = jax.random.PRNGKey(6)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (1, 64, 2, 40), jnp.float32)
+    k = jax.random.normal(kk, (1, 64, 2, 40), jnp.float32)
+    v = jax.random.normal(kv, (1, 64, 2, 40), jnp.float32)
+    shift = jnp.full((1, 1, 2, 40), 5.0, jnp.float32)
+    a = attn.attention(q, k, v, backend="xla_int8")
+    b = attn.attention(q, k + shift, v, backend="xla_int8")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2)
+
+
+def test_int8_attention_chunked_matches_single(monkeypatch):
+    """In-cell KV chunking with online rescale must not change results."""
+    key = jax.random.PRNGKey(7)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (1, 128, 2, 40), jnp.float32) * 3.0
+    k = jax.random.normal(kk, (1, 256, 2, 40), jnp.float32) * 3.0
+    v = jax.random.normal(kv, (1, 256, 2, 40), jnp.float32)
+    ref = attn.attention(q, k, v, backend="int8_interpret")
+    monkeypatch.setenv("IRET_ATTN_INT8_CHUNK", "128")
+    got = attn.attention(q, k, v, backend="int8_interpret")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)

@@ -40,10 +40,14 @@ def main():
     size = int(os.environ.get("BENCH_SIZE", "512"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
 
-    # Int8 serving path (ops/quant.py) is the shipping default: measured
-    # 3.65 vs 3.20 img/s bf16 on v5e, quality-gated by
-    # scripts/eval_quant_quality.py. BENCH_QUANT=none reverts to bf16.
-    quant_env = os.environ.get("BENCH_QUANT", os.environ.get("IRET_QUANT", "int8"))
+    # Int8 serving with static calibrated activation scales (ops/quant.py)
+    # is the shipping default: measured on v5e 3.99 img/s static vs 3.65
+    # dynamic vs 3.20 bf16, quality-gated by scripts/eval_quant_quality.py
+    # (static-vs-bf16 output PSNR 34.0 dB / SSIM 0.993 on the real trained
+    # checkpoint, gt-PSNR delta -0.013 dB). BENCH_QUANT=int8 for dynamic
+    # scales, =none for bf16.
+    quant_env = os.environ.get(
+        "BENCH_QUANT", os.environ.get("IRET_QUANT", "int8_static"))
     if quant_env and quant_env != "none":
         os.environ["IRET_QUANT"] = quant_env
     else:
@@ -59,15 +63,29 @@ def main():
     # bandwidth-bound UNet).
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
 
-    fn = sampling.make_img2img_fn(
-        modules, num_inference_steps=steps, strength=1.0,
-        guidance_scale=5.0, sampler="ddim",
-    )
     image = jnp.zeros((batch, size, size, 3), jnp.float32)
     ctx = sampling.encode_text(
         modules, params, jnp.zeros((batch, 77), jnp.int32)
     )
     key = jax.random.PRNGKey(42)
+
+    if quant_env == "int8_static":
+        # Calibrate per-site activation scales on the bench inputs (one
+        # dynamic-int8 pass), then trace the serving fn with the scales as
+        # constants — no absmax reduces in the hot program (ops/quant.py).
+        from image_restoration_and_enhancement_tpu.ops import quant
+
+        calib = sampling.make_calib_img2img_fn(
+            modules, num_inference_steps=steps, strength=1.0,
+            guidance_scale=5.0, sampler="ddim",
+        )
+        _, stats = calib(params, image, ctx, ctx, key)
+        quant.load_static_table({k: float(v) for k, v in stats.items()})
+
+    fn = sampling.make_img2img_fn(
+        modules, num_inference_steps=steps, strength=1.0,
+        guidance_scale=5.0, sampler="ddim",
+    )
 
     # Warmup/compile, then force real execution with a host fetch: through
     # remote-relay TPU backends, block_until_ready alone does not guarantee

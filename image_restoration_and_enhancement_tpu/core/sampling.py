@@ -131,6 +131,7 @@ def _denoise_loop(
     extra_channels: Optional[jnp.ndarray] = None,
     added_cond: Optional[dict] = None,
     cfg_layout: str = "halves",
+    collect_quant_stats: bool = False,
 ) -> jnp.ndarray:
     """Run the full sampling loop as one lax.scan.
 
@@ -231,27 +232,49 @@ def _denoise_loop(
         "append": jnp.asarray(plan.append),
     }
 
+    def unet_eps_stats(lat, t):
+        """unet_eps + {site: absmax} for every quantized call in this step.
+        The sink entries are traced values of THIS scan-body trace, so they
+        must leave the body as scan outputs (core/quant calibration)."""
+        from ..ops import quant
+
+        with quant.calib_sink() as sink:
+            eps = unet_eps(lat, t)
+        stats = {}
+        for name, val in sink:
+            stats[name] = jnp.maximum(stats[name], val) if name in stats else val
+        return eps, stats
+
     if sampler == "plms":
 
         def body(carry, x):
             lat, pc = carry
-            eps = unet_eps(lat, x["t"])
+            if collect_quant_stats:
+                eps, stats = unet_eps_stats(lat, x["t"])
+            else:
+                eps, stats = unet_eps(lat, x["t"]), None
             pc, lat = sched.plms_step(
                 ac, fa, pc, lat, eps, x["t"], x["prev_t"], x["code"], x["append"]
             )
-            return (lat, pc), None
+            return (lat, pc), stats
 
         init = (latents.astype(jnp.float32), sched.plms_init_carry(latents))
-        (latents, _), _ = jax.lax.scan(body, init, xs)
+        (latents, _), stats = jax.lax.scan(body, init, xs)
     elif sampler == "ddim":
 
         def body(lat, x):
-            eps = unet_eps(lat, x["t"])
-            return sched.ddim_step(ac, fa, lat, eps, x["t"], x["prev_t"]), None
+            if collect_quant_stats:
+                eps, stats = unet_eps_stats(lat, x["t"])
+            else:
+                eps, stats = unet_eps(lat, x["t"]), None
+            return sched.ddim_step(ac, fa, lat, eps, x["t"], x["prev_t"]), stats
 
-        latents, _ = jax.lax.scan(body, latents.astype(jnp.float32), xs)
+        latents, stats = jax.lax.scan(body, latents.astype(jnp.float32), xs)
     else:
         raise ValueError(f"Unknown sampler: {sampler}")
+    if collect_quant_stats:
+        step_max = jax.tree.map(lambda v: jnp.max(v, axis=0), stats)
+        return latents, step_max
     return latents
 
 
@@ -296,6 +319,70 @@ def make_img2img_fn(
             guidance_scale, sampler, added_cond=added, cfg_layout=cfg_layout,
         )
         return decode_latents(modules, params, latents)
+
+    return jax.jit(fn) if jit else fn
+
+
+def make_calib_img2img_fn(
+    modules: SDModules,
+    num_inference_steps: int,
+    strength: float,
+    guidance_scale: float,
+    sampler: str = "plms",
+    jit: bool = True,
+    cfg_layout: str = "halves",
+) -> Callable:
+    """Calibration twin of make_img2img_fn for the int8_static serving mode.
+
+    Runs the identical program under DYNAMIC int8 quantization
+    (ops/quant.py) and returns (image, {site: activation_absmax}) where the
+    absmax of every quantized conv/dense input is maxed over all denoise
+    steps plus the VAE encode/decode. Feed several representative batches,
+    take the elementwise max of the dicts, and pass the result to
+    quant.load_static_table() before tracing the int8_static serving fn.
+    """
+    from ..ops import quant
+
+    cfg = modules.config.scheduler
+    plan_fn = sched.plms_step_plan if sampler == "plms" else sched.ddim_step_plan
+    plan = plan_fn(cfg, num_inference_steps, strength)
+    ac = jnp.asarray(sched.make_alphas_cumprod(cfg), dtype=jnp.float32)
+
+    def _merge(into: dict, sink):
+        for name, val in sink:
+            into[name] = jnp.maximum(into[name], val) if name in into else val
+
+    def fn(params, image, prompt_ctx, uncond_ctx, key):
+        with quant.quant_mode("int8"):
+            added = None
+            if modules.is_sdxl:
+                prompt_ctx, pooled = prompt_ctx
+                if uncond_ctx is not None:
+                    uncond_ctx, _ = uncond_ctx
+                added = {
+                    "text_embeds": pooled,
+                    "time_ids": sdxl_time_ids(pooled.shape[0], image.shape[1]),
+                }
+            stats: dict = {}
+            k_enc, k_noise = jax.random.split(key)
+            with quant.calib_sink() as sink:
+                latents0 = encode_image(modules, params, image, k_enc)
+            _merge(stats, sink)
+            noise = jax.random.normal(k_noise, latents0.shape, jnp.float32)
+            latents = sched.add_noise(
+                ac, latents0, noise, jnp.asarray(plan.init_timestep)
+            )
+            latents, loop_stats = _denoise_loop(
+                modules, params, latents, prompt_ctx, uncond_ctx, plan,
+                guidance_scale, sampler, added_cond=added, cfg_layout=cfg_layout,
+                collect_quant_stats=True,
+            )
+            for name, val in loop_stats.items():
+                stats[name] = jnp.maximum(stats[name], val) if name in stats else val
+            with quant.calib_sink() as sink:
+                image_out = decode_latents(modules, params, latents)
+            _merge(stats, sink)
+            return image_out, stats
 
     return jax.jit(fn) if jit else fn
 

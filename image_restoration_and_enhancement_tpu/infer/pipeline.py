@@ -86,12 +86,33 @@ class RestorationPipeline:
         dtype=jnp.bfloat16,
         max_size: int = 1024,
         attention_backend: Optional[str] = None,
+        quant: Optional[str] = None,
+        quant_calib: Optional[str] = None,
     ):
         self.seed = seed
         self.dtype = dtype
         self.max_size = max_size
         self.models_root = models_root
         self.attention_backend = attention_backend
+        # Serving quantization (beyond-reference): quant=None defers to the
+        # IRET_QUANT env var; "int8" = dynamic w8a8 (ops/quant.py);
+        # "int8_static" additionally needs quant_calib = a JSON from
+        # scripts/calibrate_quant.py (sites missing from the table fall
+        # back to dynamic quantization, so a stale table degrades, not
+        # breaks). The mode is process-global — it applies to functions
+        # traced after construction.
+        if quant is not None:
+            from ..ops import quant as quant_ops
+
+            quant_ops.set_mode(quant)
+        if quant_calib:
+            import json as _json
+
+            from ..ops import quant as quant_ops
+
+            with open(quant_calib) as f:
+                loaded = _json.load(f)
+            quant_ops.load_static_table(loaded.get("sites", loaded))
         # per-task config merged over defaults (reference: inference.py:62-83)
         self.config: Dict[str, Dict[str, Any]] = {}
         for name, spec in TASKS.items():

@@ -22,9 +22,32 @@ from ..ops.groupnorm import group_norm as fused_group_norm
 # nn.Dense (bf16), except that when the int8 serving mode is on at trace
 # time (ops/quant.py) the matmul/conv runs s8xs8 on the MXU. Used for every
 # FLOP-heavy projection in the UNet blocks; IO convs and the time-embedding
-# MLP stay full precision (models/unet.py).
-QConv = functools.partial(nn.Conv, conv_general_dilated=quant.conv_general_dilated)
-QDense = functools.partial(nn.Dense, dot_general=quant.dot_general)
+# MLP stay full precision (models/unet.py). The subclasses publish their
+# flax module path as the quant "site" so calibration can key per-layer
+# static activation scales (ops/quant.py mode "int8_static").
+
+
+def _module_site(m: nn.Module) -> str:
+    try:
+        return "/".join(str(p) for p in m.scope.path)
+    except Exception:  # pragma: no cover - unbound module
+        return m.name or m.__class__.__name__
+
+
+class _SiteConv(nn.Conv):
+    def __call__(self, x):
+        with quant.at_site(_module_site(self)):
+            return super().__call__(x)
+
+
+class _SiteDense(nn.Dense):
+    def __call__(self, x):
+        with quant.at_site(_module_site(self)):
+            return super().__call__(x)
+
+
+QConv = functools.partial(_SiteConv, conv_general_dilated=quant.conv_general_dilated)
+QDense = functools.partial(_SiteDense, dot_general=quant.dot_general)
 
 
 class FusedGroupNorm(nn.Module):

@@ -23,6 +23,21 @@ Design (TPU/XLA):
 Mode is read at TRACE time (like every IRET_* knob): IRET_QUANT=int8, or
 programmatically via `quant_mode("int8")` around function construction.
 
+Static-scale mode ("int8_static"): profiling the dynamic path showed the
+per-layer absmax reduce is the int8 path's main overhead — each reduce is
+a 6ms/step fusion block of its own AND, when fused as a conv epilogue,
+caps that conv fusion well below the s8 MXU rate (measured on v5e:
+960->320ch 64px conv 4.4ms plain / 6.7ms with absmax epilogue / 5.4ms
+with a static-scale quantize epilogue; the quantize epilogue is free-to-
+NEGATIVE cost elsewhere since the s8 output halves write traffic). With
+calibrated per-site scales the reduce disappears and the round/clip/
+convert fuses into the producer. Calibration = run any traced function
+under `calib_sink()`; every quantized site reports its activation absmax
+(keyed by its flax module path, see models/layers.py QConv/QDense), take
+the max over calibration inputs, `load_static_table({site: absmax})`,
+then trace serving functions under mode "int8_static". Sites missing
+from the table fall back to dynamic quantization.
+
 The reference has no quantized path (fp16 torch end to end); this is a
 beyond-reference serving feature, quality-gated by scripts/eval harness —
 see tests/test_quant.py for the numeric gates.
@@ -47,6 +62,14 @@ def current_mode() -> Optional[str]:
     return m or None
 
 
+def set_mode(mode: Optional[str]):
+    """Set the quantization mode persistently (vs the scoped quant_mode
+    context manager). Applies to functions traced afterwards; pass None to
+    fall back to the IRET_QUANT env var, "" to force off."""
+    global _MODE_OVERRIDE
+    _MODE_OVERRIDE = mode
+
+
 @contextlib.contextmanager
 def quant_mode(mode: Optional[str]):
     """Set the quantization mode for functions TRACED inside the context.
@@ -62,11 +85,95 @@ def quant_mode(mode: Optional[str]):
 
 _EPS = 1e-8
 
+# --- site identity + calibration + static scales ---------------------------
+# The current quantized call site (a flax module path string), set by the
+# QConv/QDense wrappers in models/layers.py around the underlying call.
+_SITE: Optional[str] = None
+# When calibrating: list of (site, traced_absmax_f32_scalar) appended at
+# trace time. The caller packages these into function outputs (legal as
+# long as the sink is drained within the same trace scope, e.g. inside a
+# lax.scan body for in-loop sites).
+_CALIB_SINK: Optional[list] = None
+# site -> float absmax from a calibration run (host floats: they enter the
+# graph as constants, so no reduce / no extra fusion outputs).
+_STATIC_TABLE: dict = {}
+_STATIC_MISSES: set = set()
+
+
+@contextlib.contextmanager
+def at_site(name: str):
+    global _SITE
+    prev = _SITE
+    _SITE = name
+    try:
+        yield
+    finally:
+        _SITE = prev
+
+
+@contextlib.contextmanager
+def calib_sink():
+    """Collect (site, absmax) pairs for every quantized call traced inside.
+    Yields the list; entries' absmax are traced f32 scalars that MUST be
+    consumed within the same trace scope (returned from the traced fn)."""
+    global _CALIB_SINK
+    prev = _CALIB_SINK
+    _CALIB_SINK = sink = []
+    try:
+        yield sink
+    finally:
+        _CALIB_SINK = prev
+
+
+def load_static_table(table: dict):
+    """Install {site: absmax_float} for mode "int8_static". Replaces any
+    previously loaded table. Scales apply to functions traced afterwards."""
+    global _STATIC_TABLE
+    _STATIC_TABLE = {str(k): float(v) for k, v in table.items()}
+    _STATIC_MISSES.clear()
+
+
+def static_misses() -> set:
+    """Sites that fell back to dynamic quantization since the last
+    load_static_table (useful to detect calibration/serving drift)."""
+    return set(_STATIC_MISSES)
+
+
+def _static_scale() -> Optional[float]:
+    if _SITE is None:
+        return None
+    a = _STATIC_TABLE.get(_SITE)
+    if a is None:
+        _STATIC_MISSES.add(_SITE)
+        return None
+    margin = float(os.environ.get("IRET_QUANT_STATIC_MARGIN", "1.0"))
+    return max(a * margin / 127.0, _EPS)
+
 
 def _quantize_per_tensor(x: jnp.ndarray):
     """Dynamic symmetric per-tensor int8. Returns (x_q, scale_f32)."""
     s = jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0
     s = jnp.maximum(s, _EPS)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _quantize_activation(x: jnp.ndarray):
+    """Per-tensor s8 activation quantize: static scale when the mode is
+    "int8_static" and the current site is calibrated (pure elementwise —
+    fuses into the producer), dynamic absmax otherwise. Under an active
+    calib_sink the dynamic absmax is also reported as (site, scalar)."""
+    if current_mode() == "int8_static":
+        s = _static_scale()
+        if s is not None:
+            q = jnp.clip(
+                jnp.round(x.astype(jnp.float32) * (1.0 / s)), -127, 127
+            ).astype(jnp.int8)
+            return q, s  # python float: folds into the rescale constant
+    a = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    if _CALIB_SINK is not None and _SITE is not None:
+        _CALIB_SINK.append((_SITE, a))
+    s = jnp.maximum(a / 127.0, _EPS)
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
     return q, s
 
@@ -104,7 +211,7 @@ def conv_general_dilated(
         feature_group_count=feature_group_count, precision=precision,
         **kwargs,
     )
-    if current_mode() != "int8":
+    if current_mode() not in ("int8", "int8_static"):
         return plain()
     if feature_group_count != 1 or not jnp.issubdtype(lhs.dtype, jnp.floating):
         return plain()
@@ -113,7 +220,7 @@ def conv_general_dilated(
     if rhs_dilation is not None and any(d != 1 for d in rhs_dilation):
         return plain()
 
-    xq, sx = _quantize_per_tensor(lhs)
+    xq, sx = _quantize_activation(lhs)
     wq, sw = _quantize_weight_out_channel(rhs)  # HWIO -> scale [O]
 
     # IRET_CONV_KERNEL=1: route 3x3/stride-1/SAME convs through the
@@ -152,7 +259,7 @@ def dot_general(lhs, rhs, dimension_numbers, precision=None,
         lhs, rhs, dimension_numbers, precision=precision,
         preferred_element_type=preferred_element_type,
     )
-    if current_mode() != "int8":
+    if current_mode() not in ("int8", "int8_static"):
         return plain()
     expected = (((lhs.ndim - 1,), (0,)), ((), ()))
     if dimension_numbers != expected:
@@ -160,7 +267,7 @@ def dot_general(lhs, rhs, dimension_numbers, precision=None,
     if not jnp.issubdtype(lhs.dtype, jnp.floating) or rhs.ndim != 2:
         return plain()
 
-    xq, sx = _quantize_per_tensor(lhs)
+    xq, sx = _quantize_activation(lhs)
     wq, sw = _quantize_weight_out_channel(rhs)  # [I, O] -> scale [O]
     acc = lax.dot_general(
         xq, wq, dimension_numbers, preferred_element_type=jnp.int32

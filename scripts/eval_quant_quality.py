@@ -48,6 +48,13 @@ def load_batch(pairs_dir: str, n: int, size: int):
 
 
 def run(modules, params, ctx, un, x, steps, strength, gs, sampler, mode):
+    if mode == "int8_static":
+        # calibrate on the same inputs (one dynamic-int8 pass), then trace
+        # the serving fn with the scales baked in as constants
+        calib = sampling.make_calib_img2img_fn(modules, steps, strength, gs,
+                                               sampler=sampler)
+        _, stats = calib(params, x, ctx, un, jax.random.PRNGKey(42))
+        quant.load_static_table({k: float(v) for k, v in stats.items()})
     with quant.quant_mode(mode):
         fn = sampling.make_img2img_fn(modules, steps, strength, gs, sampler)
         out = fn(params, x, ctx, un, jax.random.PRNGKey(42))
@@ -70,6 +77,7 @@ def main():
     p.add_argument("--task", default="denoise")
     p.add_argument("--n", type=int, default=8)
     p.add_argument("--size", type=int, default=256)
+    p.add_argument("--modes", default="int8,int8_static")
     args = p.parse_args()
 
     spec = get_task(args.task)
@@ -85,19 +93,19 @@ def main():
 
     out_bf16 = run(modules, params, ctx, un, x, s.num_inference_steps,
                    s.strength, s.guidance_scale, s.sampler, mode=None)
-    out_int8 = run(modules, params, ctx, un, x, s.num_inference_steps,
-                   s.strength, s.guidance_scale, s.sampler, mode="int8")
-
     b01 = (out_bf16 + 1) / 2
-    q01 = (out_int8 + 1) / 2
     g01 = (np.asarray(gt) + 1) / 2
     p_b, s_b = metrics_vs(b01, g01)
-    p_q, s_q = metrics_vs(q01, g01)
-    p_x, s_x = metrics_vs(q01, b01)
-    print(f"bf16  vs gt   : psnr {p_b:7.3f}  ssim {s_b:.4f}")
-    print(f"int8  vs gt   : psnr {p_q:7.3f}  ssim {s_q:.4f}")
-    print(f"int8  vs bf16 : psnr {p_x:7.3f}  ssim {s_x:.4f}")
-    print(f"gt-psnr delta (bf16 - int8): {p_b - p_q:+.4f} dB")
+    print(f"bf16        vs gt   : psnr {p_b:7.3f}  ssim {s_b:.4f}")
+    for mode in args.modes.split(","):
+        out_q = run(modules, params, ctx, un, x, s.num_inference_steps,
+                    s.strength, s.guidance_scale, s.sampler, mode=mode)
+        q01 = (out_q + 1) / 2
+        p_q, s_q = metrics_vs(q01, g01)
+        p_x, s_x = metrics_vs(q01, b01)
+        print(f"{mode:11s} vs gt   : psnr {p_q:7.3f}  ssim {s_q:.4f}")
+        print(f"{mode:11s} vs bf16 : psnr {p_x:7.3f}  ssim {s_x:.4f}")
+        print(f"gt-psnr delta (bf16 - {mode}): {p_b - p_q:+.4f} dB")
 
 
 if __name__ == "__main__":

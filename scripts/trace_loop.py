@@ -87,17 +87,72 @@ def run_and_trace():
     return batch, steps
 
 
-def build_hlo_category_map(path="/tmp/trace_loop_hlo.txt"):
-    """fusion/op name -> category, from the executable's own HLO text.
+def _shape_numel(s):
+    dims = s.split("[", 1)[1].split("]", 1)[0]
+    n = 1
+    for d in dims.split(","):
+        d = d.strip()
+        if d:
+            n *= int(d)
+    return n
 
-    A fusion's category comes from its called computation's body ops:
-    convolution > dot > exp(softmax) > reduce > copy/transpose > other."""
+
+def _prod(xs):
+    n = 1
+    for x in xs:
+        n *= x
+    return n
+
+
+def _body_flops(body):
+    """Logical MAC-FLOPs of the conv/dot ops inside one fusion body."""
+    import re as _re
+    fl = 0
+    # convolution: FLOPs = 2 * out_elems * filter_elems / out_channels
+    for m in _re.finditer(
+            r"= (\S+?\[[\d,]*\])\S* convolution\((%[\w.\-]+), (%[\w.\-]+)\)"
+            r".*?dim_labels=\S*?_(\w+?)->", body):
+        out_s, _, rhs_name, flabels = m.groups()
+        rm = _re.search(_re.escape(rhs_name) + r" = (\S+?\[[\d,]*\])", body)
+        if not rm:
+            continue
+        dims = [int(d) for d in
+                rm.group(1).split("[", 1)[1].split("]", 1)[0].split(",") if d]
+        o_pos = flabels.index("o") if "o" in flabels else len(dims) - 1
+        co = dims[o_pos] if o_pos < len(dims) else 1
+        fl += 2 * _shape_numel(out_s) * (_prod(dims) // max(co, 1))
+    # dot: FLOPs = 2 * out_elems * contracted extent
+    for m in _re.finditer(
+            r"= (\S+?\[[\d,]*\])\S* dot\((%[\w.\-]+), (%[\w.\-]+)\), "
+            r"[^\n]*?lhs_contracting_dims=\{([\d,]*)\}", body):
+        out_s, lhs_name, _, cdims = m.groups()
+        lm = _re.search(_re.escape(lhs_name) + r" = (\S+?\[[\d,]*\])", body)
+        if not lm:
+            continue
+        ldims = [int(d) for d in
+                 lm.group(1).split("[", 1)[1].split("]", 1)[0].split(",") if d]
+        k = 1
+        for ci in cdims.split(","):
+            ci = ci.strip()
+            if ci:
+                k *= ldims[int(ci)]
+        fl += 2 * _shape_numel(out_s) * k
+    return fl
+
+
+def build_hlo_category_map(path="/tmp/trace_loop_hlo.txt"):
+    """fusion/op name -> (category, flops), from the executable's own HLO.
+
+    Category from the called computation's body ops (convolution > dot >
+    exp > quantize > reduce > copy > other), with one level of nested
+    fusions spliced in (XLA's attention mega-fusions keep the QK dot in an
+    inner fused computation). flops = logical conv/dot MAC count inside the
+    fusion (0 if none), for achieved-TOPS reporting."""
     if not os.path.exists(path):
         return {}
     with open(path) as f:
         txt = f.read()
     import re as _re
-    # computation name -> body text
     comps = {}
     for m in _re.finditer(r"^%?([\w.\-]+) \([^)]*\) -> [^{]+\{(.*?)^\}",
                           txt, _re.M | _re.S):
@@ -108,30 +163,36 @@ def build_hlo_category_map(path="/tmp/trace_loop_hlo.txt"):
             txt):
         name, _, comp = m.groups()
         body = comps.get(comp, "")
-        if " convolution(" in body or "%convolution" in body:
+        inner = ""
+        for im in _re.finditer(r"calls=%([\w.\-]+)", body):
+            inner += comps.get(im.group(1), "")
+        full = body + inner
+        if " convolution(" in full or "%convolution" in full:
             cat = "conv(+fused-epilogue)"
-        elif "dot(" in body:
+        elif "dot(" in full:
             cat = "matmul(+fused-epilogue)"
-        elif "exponential(" in body:
+        elif "exponential(" in full:
             cat = "softmax/exp"
-        elif "round-nearest" in body or ("convert" in body and "s8" in body):
+        elif "round-nearest" in full or ("convert" in full and "s8" in full):
             cat = "quantize"
-        elif "reduce(" in body or "reduce-window" in body:
+        elif "reduce(" in full or "reduce-window" in full:
             cat = "reduce(stats/absmax)"
-        elif "transpose(" in body or "copy(" in body:
+        elif "transpose(" in full or "copy(" in full:
             cat = "copy/transpose"
         else:
             cat = "elementwise"
-        name_cat[name] = cat
-    # non-fusion standalone ops
+        name_cat[name] = (cat, _body_flops(full))
     for m in _re.finditer(r"%([\w.\-]+) = [^\n]*? (convolution|dot|copy|"
                           r"transpose|reduce|exponential)\(", txt):
         name, op = m.groups()
-        name_cat.setdefault(name, {
-            "convolution": "conv(+fused-epilogue)", "dot": "matmul(+fused-epilogue)",
-            "copy": "copy/transpose", "transpose": "copy/transpose",
-            "reduce": "reduce(stats/absmax)", "exponential": "softmax/exp",
-        }[op])
+        name_cat.setdefault(name, ({
+            "convolution": "conv(+fused-epilogue)",
+            "dot": "matmul(+fused-epilogue)",
+            "copy": "copy/transpose",
+            "transpose": "copy/transpose",
+            "reduce": "reduce(stats/absmax)",
+            "exponential": "softmax/exp",
+        }[op], 0))
     return name_cat
 
 
@@ -177,7 +238,8 @@ def analyze(batch, steps):
         if name.startswith("jit_") or name.startswith("while") or \
                 name.startswith("body") or name.startswith("condition"):
             continue  # parent spans double-count their children
-        cat = hlo_cat.get(name.lstrip("%")) or categorize(name)
+        ent = hlo_cat.get(name.lstrip("%"))
+        cat = ent[0] if ent else categorize(name)
         cat_time[cat] += dur
         op_time[name] += dur
         total += dur
@@ -187,10 +249,21 @@ def analyze(batch, steps):
     for cat, t in cat_time.most_common():
         print(f"{cat:28s} {t*1e3:9.2f} ms  {100*t/max(total,1e-9):5.1f}%")
     print(f"{'TOTAL':28s} {total*1e3:9.2f} ms")
-    print("\n--- top 30 ops ---")
+    print("\n--- top 30 ops (tops = logical conv/dot FLOPs / time; "
+          "each op is summed over its loop occurrences) ---")
+    n_occur = collections.Counter()
+    for e in events:
+        if e.get("ph") == "X" and e.get("name") in op_time:
+            n_occur[e["name"]] += 1
     for name, t in op_time.most_common(30):
-        print(f"{t*1e3:9.2f} ms  [{hlo_cat.get(name.lstrip('%'), '?'):>22s}] "
-              f"{name[:80]}")
+        ent = hlo_cat.get(name.lstrip("%"))
+        cat, fl = ent if ent else ("?", 0)
+        tops = ""
+        if fl and t > 0:
+            occ = max(n_occur[name], 1)
+            tops = f" {fl*occ/t/1e12:6.1f} T(fl)op/s"
+        print(f"{t*1e3:9.2f} ms x{n_occur[name]:<3d} [{cat:>22s}]{tops} "
+              f"{name[:70]}")
 
 
 if __name__ == "__main__":

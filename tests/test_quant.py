@@ -157,3 +157,44 @@ def test_implicit_gemm_conv_kernel_tiling(monkeypatch):
                                       interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_static_calibration_roundtrip(tiny_stack):
+    """int8_static: calibrate -> static table -> serving trace has no
+    dynamic fallbacks and stays close to the bf16 loop (the absmax reduces
+    are gone from the graph; that's the perf point, asserted on HLO)."""
+    modules, params = tiny_stack
+    img = jax.random.uniform(jax.random.PRNGKey(10), (1, 64, 64, 3),
+                             minval=-1.0, maxval=1.0)
+    ids = jnp.zeros((1, 77), jnp.int32)
+    ctx = sampling.encode_text(modules, params, ids)
+    key = jax.random.PRNGKey(42)
+
+    calib = sampling.make_calib_img2img_fn(modules, 4, 0.5, 5.0, jit=False)
+    out, stats = calib(params, img, ctx, ctx, key)
+    assert np.isfinite(np.asarray(out)).all()
+    assert len(stats) > 10  # unet + vae sites
+    assert all(np.isfinite(float(v)) and float(v) > 0 for v in stats.values())
+
+    quant.load_static_table({k: float(v) for k, v in stats.items()})
+    try:
+        with quant.quant_mode("int8_static"):
+            fnq = sampling.make_img2img_fn(modules, 4, 0.5, 5.0, jit=False)
+            got = fnq(params, img, ctx, ctx, key)
+            lowered = jax.jit(fnq).lower(params, img, ctx, ctx, key)
+        assert quant.static_misses() == set()
+        ref = sampling.make_img2img_fn(modules, 4, 0.5, 5.0, jit=False)(
+            params, img, ctx, ctx, key)
+        mse = float(jnp.mean((got - ref) ** 2))
+        psnr = 10 * np.log10(4.0 / max(mse, 1e-12))
+        assert psnr > 25.0, psnr
+        # the whole point: no per-activation absmax reduces in the graph.
+        # Weight-quant reduces remain (hoisted out of the loop by XLA), so
+        # compare against the dynamic-mode trace which has strictly more.
+        n_static = lowered.as_text().count("reduce(")
+        with quant.quant_mode("int8"):
+            fdyn = sampling.make_img2img_fn(modules, 4, 0.5, 5.0, jit=False)
+            n_dyn = jax.jit(fdyn).lower(params, img, ctx, ctx, key).as_text().count("reduce(")
+        assert n_static < n_dyn, (n_static, n_dyn)
+    finally:
+        quant.load_static_table({})

@@ -18,6 +18,7 @@ budget (the VAE's 512x512 layers).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -124,6 +125,15 @@ def _reference_group_norm(x, scale, bias, groups, eps, act):
     b, h, w_, c = x.shape
     gc = c // groups
     n = h * w_ * gc  # elements per group
+
+    # IRET_GN_STATS_BARRIER=1 (captured at trace time): stop XLA from
+    # fusing the sum/sumsq stats reduce into the PRODUCING conv's epilogue.
+    # The int8 serving trace shows conv fusions carrying these stats run at
+    # 150-227 TOPS vs 380 for epilogue-free peers (docs/STATUS.md); the
+    # barrier trades that cap for one extra read of the already-
+    # materialized activation.
+    if os.environ.get("IRET_GN_STATS_BARRIER") == "1":
+        x = jax.lax.optimization_barrier(x)
 
     xf = x.astype(jnp.float32)
     s = jnp.sum(xf, axis=(1, 2))                 # [B, C], fused convert+reduce

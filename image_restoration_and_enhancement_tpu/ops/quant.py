@@ -223,6 +223,19 @@ def conv_general_dilated(
     xq, sx = _quantize_activation(lhs)
     wq, sw = _quantize_weight_out_channel(rhs)  # HWIO -> scale [O]
 
+    # IRET_PAD_CONV_CIN=1 (trace-time): zero-pad non-128-multiple input
+    # channel counts up to the lane tile. The only serving shape this hits
+    # is the 960-ch up-block concat conv (960 = 7.5 lane tiles), whose s8
+    # emitter runs at 150 TOPS vs ~380 for its 128-multiple peers (trace
+    # r2). Zero channels contribute zero to the integer accumulation, so
+    # the result is exact; the pad fuses into the quantize pass.
+    if os.environ.get("IRET_PAD_CONV_CIN") == "1" and lhs.ndim == 4:
+        ci = xq.shape[-1]
+        pad = (-ci) % 128
+        if pad and ci >= 896:
+            xq = jnp.pad(xq, ((0, 0), (0, 0), (0, 0), (0, pad)))
+            wq = jnp.pad(wq, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
     # IRET_CONV_KERNEL=1: route 3x3/stride-1/SAME convs through the
     # implicit-GEMM Pallas kernel (ops/conv_int8.py) — nine accumulated MXU
     # matmuls at the s8 matmul rate instead of XLA's slower s8 conv lowering.
@@ -241,12 +254,31 @@ def conv_general_dilated(
             xp, wq, sx * sw, out_dtype=lhs.dtype
         )
 
-    acc = lax.conv_general_dilated(
-        xq, wq, window_strides, padding,
-        dimension_numbers=dimension_numbers,
-        feature_group_count=1,
-        preferred_element_type=jnp.int32,
-    )
+    # IRET_PROJ1X1_AS_DOT=1 (trace-time): run 1x1 convs (Transformer2D
+    # spatial proj_in/proj_out, conv_shortcut, VAE quant convs) as a plain
+    # channel contraction. The s8 conv emitter picks a {2,0,1} output
+    # layout for these that forces standalone relayout copies around the
+    # attention stack (trace r2: ~10ms/call); the dot form stays in the
+    # token-major layout the transformer blocks already use.
+    if (
+        os.environ.get("IRET_PROJ1X1_AS_DOT") == "1"
+        and rhs.shape[:2] == (1, 1)
+        and tuple(window_strides) == (1, 1)
+        and lhs.ndim == 4
+    ):
+        b, hh, ww, ci = xq.shape
+        acc = lax.dot_general(
+            xq.reshape(b, hh * ww, ci), wq[0, 0],
+            (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).reshape(b, hh, ww, -1)
+    else:
+        acc = lax.conv_general_dilated(
+            xq, wq, window_strides, padding,
+            dimension_numbers=dimension_numbers,
+            feature_group_count=1,
+            preferred_element_type=jnp.int32,
+        )
     y = acc.astype(jnp.float32) * (sx * sw)  # broadcast over trailing O
     return y.astype(lhs.dtype)
 

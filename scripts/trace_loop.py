@@ -58,14 +58,31 @@ def run_and_trace():
     size = int(os.environ.get("TRACE_SIZE", "512"))
     attn = os.environ.get("TRACE_ATTN") or None
 
+    # TRACE_QUANT mirrors bench.py's BENCH_QUANT (default int8_static, the
+    # shipping serving path); "none" traces the bf16 program.
+    quant_env = os.environ.get(
+        "TRACE_QUANT", os.environ.get("IRET_QUANT", "int8_static"))
+    if quant_env and quant_env != "none":
+        os.environ["IRET_QUANT"] = quant_env
+    else:
+        os.environ.pop("IRET_QUANT", None)
+
     modules = sampling.SDModules.create(C.SD15, dtype=jnp.bfloat16,
                                         attention_backend=attn)
     params = sampling.init_params(modules, jax.random.PRNGKey(0), image_size=size)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
-    fn = sampling.make_img2img_fn(modules, steps, 1.0, 5.0, sampler="ddim")
     image = jnp.zeros((batch, size, size, 3), jnp.float32)
     ctx = sampling.encode_text(modules, params, jnp.zeros((batch, 77), jnp.int32))
     key = jax.random.PRNGKey(42)
+
+    if quant_env == "int8_static":
+        from image_restoration_and_enhancement_tpu.ops import quant
+        calib = sampling.make_calib_img2img_fn(modules, steps, 1.0, 5.0,
+                                               sampler="ddim")
+        _, stats = calib(params, image, ctx, ctx, key)
+        quant.load_static_table({k: float(v) for k, v in stats.items()})
+
+    fn = sampling.make_img2img_fn(modules, steps, 1.0, 5.0, sampler="ddim")
 
     out = fn(params, image, ctx, ctx, key)  # compile+warm
     _ = float(jnp.mean(out))

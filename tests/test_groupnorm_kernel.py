@@ -70,3 +70,17 @@ def test_groupnorm_large_mean_no_nan():
     assert np.isfinite(np.asarray(y)).all()
     y2 = group_norm(x, scale, bias, groups=4, backend="pallas_interpret")
     assert np.isfinite(np.asarray(y2)).all()
+
+
+def test_gn_stats_barrier_is_identity(monkeypatch):
+    """IRET_GN_STATS_BARRIER only blocks producer fusion; outputs match."""
+    import numpy as np
+    from image_restoration_and_enhancement_tpu.ops import groupnorm as gn
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 32))
+    s = jax.random.normal(jax.random.PRNGKey(1), (32,)) * 0.1 + 1.0
+    b = jax.random.normal(jax.random.PRNGKey(2), (32,)) * 0.1
+    ref = gn._reference_group_norm(x, s, b, 8, 1e-5, "silu")
+    monkeypatch.setenv("IRET_GN_STATS_BARRIER", "1")
+    got = gn._reference_group_norm(x, s, b, 8, 1e-5, "silu")
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

@@ -198,3 +198,36 @@ def test_static_calibration_roundtrip(tiny_stack):
         assert n_static < n_dyn, (n_static, n_dyn)
     finally:
         quant.load_static_table({})
+
+
+def test_1x1_conv_as_dot_matches_conv_form(monkeypatch):
+    """IRET_PROJ1X1_AS_DOT routes quantized 1x1 convs through dot_general;
+    the integer accumulation is exact, so both forms must agree bitwise."""
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(key, (2, 8, 8, 96))
+    w = jax.random.normal(jax.random.PRNGKey(8), (1, 1, 96, 32)) * 0.05
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    with quant.quant_mode("int8"):
+        conv_form = quant.conv_general_dilated(x, w, (1, 1), "SAME",
+                                               dimension_numbers=dn)
+        monkeypatch.setenv("IRET_PROJ1X1_AS_DOT", "1")
+        dot_form = quant.conv_general_dilated(x, w, (1, 1), "SAME",
+                                              dimension_numbers=dn)
+    assert conv_form.shape == dot_form.shape
+    np.testing.assert_array_equal(np.asarray(conv_form), np.asarray(dot_form))
+
+
+def test_pad_conv_cin_exact(monkeypatch):
+    """Zero-padding the input-channel axis must not change the integer
+    accumulation: bitwise-equal outputs."""
+    key = jax.random.PRNGKey(9)
+    x = jax.random.normal(key, (1, 4, 4, 960))
+    w = jax.random.normal(jax.random.PRNGKey(10), (3, 3, 960, 32)) * 0.02
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    with quant.quant_mode("int8"):
+        plain = quant.conv_general_dilated(x, w, (1, 1), "SAME",
+                                           dimension_numbers=dn)
+        monkeypatch.setenv("IRET_PAD_CONV_CIN", "1")
+        padded = quant.conv_general_dilated(x, w, (1, 1), "SAME",
+                                            dimension_numbers=dn)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(padded))

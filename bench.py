@@ -82,9 +82,14 @@ def main():
         _, stats = calib(params, image, ctx, ctx, key)
         quant.load_static_table({k: float(v) for k, v in stats.items()})
 
+    # BENCH_CFG_CACHE=k (default 1 = exact): opt-in approximate turbo mode —
+    # uncond branch recomputed every k-th step (core/sampling.py). NOT the
+    # headline path; quality-gate with scripts/eval_quant_quality.py
+    # --cfg_cache before serving with it.
+    cfg_cache = int(os.environ.get("BENCH_CFG_CACHE", "1"))
     fn = sampling.make_img2img_fn(
         modules, num_inference_steps=steps, strength=1.0,
-        guidance_scale=5.0, sampler="ddim",
+        guidance_scale=5.0, sampler="ddim", cfg_cache_interval=cfg_cache,
     )
 
     # Warmup/compile, then force real execution with a host fetch: through

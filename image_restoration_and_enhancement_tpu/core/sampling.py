@@ -132,6 +132,7 @@ def _denoise_loop(
     added_cond: Optional[dict] = None,
     cfg_layout: str = "halves",
     collect_quant_stats: bool = False,
+    cfg_cache_interval: int = 1,
 ) -> jnp.ndarray:
     """Run the full sampling loop as one lax.scan.
 
@@ -148,6 +149,15 @@ def _denoise_loop(
         a local reshape instead of a cross-chip all-to-all (verified by HLO
         inspection on an 8-device mesh; "halves" compiles to ~50
         all-to-alls over the denoise loop).
+    cfg_cache_interval (k): OPT-IN approximate serving mode. k=1 (default)
+      is the exact loop — every step runs the full CFG pair, bit-identical
+      to before. k>1 recomputes the UNCOND branch only every k-th step
+      (and on the final step), reusing the previous uncond eps between:
+      the uncond prediction is prompt-independent and drifts slowly across
+      adjacent timesteps, so skipped steps run the UNet at HALF the CFG
+      batch. This changes outputs — gate with scripts/eval_quant_quality.py
+      (--cfg_cache) before serving with it. The reference has no analog
+      (exact 20-step CFG loop, /root/reference/src/inference.py:486-494).
     """
     cfg = modules.config.scheduler
     ac = jnp.asarray(sched.make_alphas_cumprod(cfg), dtype=jnp.float32)
@@ -232,6 +242,74 @@ def _denoise_loop(
         "append": jnp.asarray(plan.append),
     }
 
+    # --- CFG-cache (opt-in, k > 1): see the docstring above ---------------
+    k = int(cfg_cache_interval)
+    cfg_cache = k > 1 and do_cfg and not dedup and not collect_quant_stats
+    if cfg_cache:
+        n = len(plan.timesteps)
+        full_mask = (np.arange(n) % k == 0)
+        full_mask[-1] = True  # always refresh guidance on the final step
+        xs["full"] = jnp.asarray(full_mask)
+
+        def unet_eps_cond_only(lat: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+            model_in = lat
+            if extra_channels is not None:
+                model_in = jnp.concatenate([lat, extra_channels], axis=-1)
+            ctx_c = ctx_all[1::2] if interleaved else ctx_all[b:]
+            added_c = None
+            if added_all is not None:
+                added_c = jax.tree.map(
+                    (lambda v: v[1::2]) if interleaved else (lambda v: v[b:]),
+                    added_all,
+                )
+            return modules.unet.apply(
+                {"params": params["unet"]},
+                model_in,
+                jnp.broadcast_to(t, (model_in.shape[0],)),
+                ctx_c,
+                added_c,
+            )
+
+        def unet_eps_full(lat: jnp.ndarray, t: jnp.ndarray):
+            """Full CFG pair; also returns the fresh uncond eps for reuse."""
+            model_in = lat
+            if extra_channels is not None:
+                model_in = jnp.concatenate([lat, extra_channels], axis=-1)
+            if interleaved:
+                model_in = jnp.repeat(model_in, 2, axis=0)
+            else:
+                model_in = jnp.concatenate([model_in, model_in], axis=0)
+            eps = modules.unet.apply(
+                {"params": params["unet"]},
+                model_in,
+                jnp.broadcast_to(t, (model_in.shape[0],)),
+                ctx_all,
+                added_all,
+            )
+            if interleaved:
+                pair = eps.reshape((b, 2) + eps.shape[1:])
+                eps_u, eps_c = pair[:, 0], pair[:, 1]
+            else:
+                eps_u, eps_c = jnp.split(eps, 2, axis=0)
+            return eps_u + guidance_scale * (eps_c - eps_u), eps_u
+
+        def eps_with_cache(lat, t, eps_u_prev, full):
+            """Returns (guided eps, uncond eps carry), both f32 so the two
+            lax.cond branches and the scan carry agree on dtype."""
+
+            def full_branch(lat):
+                eps, eps_u = unet_eps_full(lat, t)
+                return eps.astype(jnp.float32), eps_u.astype(jnp.float32)
+
+            def cached_branch(lat):
+                eps_c = unet_eps_cond_only(lat, t).astype(jnp.float32)
+                return (
+                    eps_u_prev + guidance_scale * (eps_c - eps_u_prev),
+                    eps_u_prev,
+                )
+
+            return jax.lax.cond(full, full_branch, cached_branch, lat)
+
     def unet_eps_stats(lat, t):
         """unet_eps + {site: absmax} for every quantized call in this step.
         The sink entries are traced values of THIS scan-body trace, so they
@@ -246,30 +324,62 @@ def _denoise_loop(
         return eps, stats
 
     if sampler == "plms":
+        if cfg_cache:
 
-        def body(carry, x):
-            lat, pc = carry
-            if collect_quant_stats:
-                eps, stats = unet_eps_stats(lat, x["t"])
-            else:
-                eps, stats = unet_eps(lat, x["t"]), None
-            pc, lat = sched.plms_step(
-                ac, fa, pc, lat, eps, x["t"], x["prev_t"], x["code"], x["append"]
-            )
-            return (lat, pc), stats
+            def body(carry, x):
+                lat, pc, eps_u = carry
+                eps, eps_u = eps_with_cache(lat, x["t"], eps_u, x["full"])
+                pc, lat = sched.plms_step(
+                    ac, fa, pc, lat, eps, x["t"], x["prev_t"], x["code"],
+                    x["append"]
+                )
+                return (lat, pc, eps_u), None
 
-        init = (latents.astype(jnp.float32), sched.plms_init_carry(latents))
-        (latents, _), stats = jax.lax.scan(body, init, xs)
+            init = (latents.astype(jnp.float32),
+                    sched.plms_init_carry(latents),
+                    jnp.zeros(latents.shape, jnp.float32))
+            (latents, _, _), stats = jax.lax.scan(body, init, xs)
+        else:
+
+            def body(carry, x):
+                lat, pc = carry
+                if collect_quant_stats:
+                    eps, stats = unet_eps_stats(lat, x["t"])
+                else:
+                    eps, stats = unet_eps(lat, x["t"]), None
+                pc, lat = sched.plms_step(
+                    ac, fa, pc, lat, eps, x["t"], x["prev_t"], x["code"],
+                    x["append"]
+                )
+                return (lat, pc), stats
+
+            init = (latents.astype(jnp.float32), sched.plms_init_carry(latents))
+            (latents, _), stats = jax.lax.scan(body, init, xs)
     elif sampler == "ddim":
+        if cfg_cache:
 
-        def body(lat, x):
-            if collect_quant_stats:
-                eps, stats = unet_eps_stats(lat, x["t"])
-            else:
-                eps, stats = unet_eps(lat, x["t"]), None
-            return sched.ddim_step(ac, fa, lat, eps, x["t"], x["prev_t"]), stats
+            def body(carry, x):
+                lat, eps_u = carry
+                eps, eps_u = eps_with_cache(lat, x["t"], eps_u, x["full"])
+                lat = sched.ddim_step(ac, fa, lat, eps, x["t"], x["prev_t"])
+                return (lat, eps_u), None
 
-        latents, stats = jax.lax.scan(body, latents.astype(jnp.float32), xs)
+            (latents, _), stats = jax.lax.scan(
+                body,
+                (latents.astype(jnp.float32),
+                 jnp.zeros(latents.shape, jnp.float32)),
+                xs,
+            )
+        else:
+
+            def body(lat, x):
+                if collect_quant_stats:
+                    eps, stats = unet_eps_stats(lat, x["t"])
+                else:
+                    eps, stats = unet_eps(lat, x["t"]), None
+                return sched.ddim_step(ac, fa, lat, eps, x["t"], x["prev_t"]), stats
+
+            latents, stats = jax.lax.scan(body, latents.astype(jnp.float32), xs)
     else:
         raise ValueError(f"Unknown sampler: {sampler}")
     if collect_quant_stats:
@@ -286,12 +396,15 @@ def make_img2img_fn(
     sampler: str = "plms",
     jit: bool = True,
     cfg_layout: str = "halves",
+    cfg_cache_interval: int = 1,
 ) -> Callable:
     """Build fn(params, image, prompt_ctx, uncond_ctx, key) -> image.
 
     `image` NHWC in [-1, 1]; contexts from encode_text — or, for SDXL
     stacks, (context, pooled) tuples from encode_text_sdxl. Deterministic
     given the key (the reference fixes seed 42, src/inference.py:483).
+    cfg_cache_interval > 1 enables the opt-in approximate CFG-cache serving
+    mode (see _denoise_loop).
     """
     cfg = modules.config.scheduler
     plan_fn = sched.plms_step_plan if sampler == "plms" else sched.ddim_step_plan
@@ -317,6 +430,7 @@ def make_img2img_fn(
         latents = _denoise_loop(
             modules, params, latents, prompt_ctx, uncond_ctx, plan,
             guidance_scale, sampler, added_cond=added, cfg_layout=cfg_layout,
+            cfg_cache_interval=cfg_cache_interval,
         )
         return decode_latents(modules, params, latents)
 
@@ -394,6 +508,7 @@ def make_inpaint_fn(
     guidance_scale: float,
     sampler: str = "ddim",
     jit: bool = True,
+    cfg_cache_interval: int = 1,
 ) -> Callable:
     """Build fn(params, image, mask, prompt_ctx, uncond_ctx, key) -> image.
 
@@ -428,6 +543,7 @@ def make_inpaint_fn(
             modules, params, latents, prompt_ctx, uncond_ctx, plan,
             guidance_scale, sampler,
             extra_channels=jnp.concatenate([mask_lat, masked_latents], axis=-1),
+            cfg_cache_interval=cfg_cache_interval,
         )
         return decode_latents(modules, params, latents)
 

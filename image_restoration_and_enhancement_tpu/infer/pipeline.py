@@ -88,12 +88,17 @@ class RestorationPipeline:
         attention_backend: Optional[str] = None,
         quant: Optional[str] = None,
         quant_calib: Optional[str] = None,
+        cfg_cache_interval: int = 1,
     ):
         self.seed = seed
         self.dtype = dtype
         self.max_size = max_size
         self.models_root = models_root
         self.attention_backend = attention_backend
+        # >1 = opt-in approximate turbo serving (core/sampling.py
+        # cfg_cache_interval); quality-gate with scripts/eval_quant_quality
+        # --cfg_cache before enabling in production.
+        self.cfg_cache_interval = int(cfg_cache_interval)
         # Serving quantization (beyond-reference): quant=None defers to the
         # IRET_QUANT env var; "int8" = dynamic w8a8 (ops/quant.py);
         # "int8_static" additionally needs quant_calib = a JSON from
@@ -252,12 +257,14 @@ class RestorationPipeline:
 
     def _sampler_fn(self, stack, kind: str, steps: int, strength: float, gs: float,
                     sampler: str):
-        key = (stack["spec"].name, kind, steps, round(strength, 4), round(gs, 4), sampler)
+        key = (stack["spec"].name, kind, steps, round(strength, 4), round(gs, 4),
+               sampler, self.cfg_cache_interval)
         if key not in self._fn_cache:
             maker = sampling.make_inpaint_fn if kind == "inpaint" else sampling.make_img2img_fn
             self._fn_cache[key] = maker(
                 stack["modules"], num_inference_steps=steps, strength=strength,
                 guidance_scale=gs, sampler=sampler,
+                cfg_cache_interval=self.cfg_cache_interval,
             )
         return self._fn_cache[key]
 

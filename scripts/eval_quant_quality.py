@@ -47,7 +47,8 @@ def load_batch(pairs_dir: str, n: int, size: int):
     return jnp.asarray(x), jnp.asarray(g)
 
 
-def run(modules, params, ctx, un, x, steps, strength, gs, sampler, mode):
+def run(modules, params, ctx, un, x, steps, strength, gs, sampler, mode,
+        cfg_cache=1):
     if mode == "int8_static":
         # calibrate on the same inputs (one dynamic-int8 pass), then trace
         # the serving fn with the scales baked in as constants
@@ -56,7 +57,8 @@ def run(modules, params, ctx, un, x, steps, strength, gs, sampler, mode):
         _, stats = calib(params, x, ctx, un, jax.random.PRNGKey(42))
         quant.load_static_table({k: float(v) for k, v in stats.items()})
     with quant.quant_mode(mode):
-        fn = sampling.make_img2img_fn(modules, steps, strength, gs, sampler)
+        fn = sampling.make_img2img_fn(modules, steps, strength, gs, sampler,
+                                      cfg_cache_interval=cfg_cache)
         out = fn(params, x, ctx, un, jax.random.PRNGKey(42))
     out.block_until_ready()
     return np.asarray(out, np.float32)  # host fetch drains the relay
@@ -78,6 +80,9 @@ def main():
     p.add_argument("--n", type=int, default=8)
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--modes", default="int8,int8_static")
+    p.add_argument("--cfg_cache", type=int, default=1,
+                   help="also gate the approximate turbo mode: int8_static "
+                        "with cfg_cache_interval=K (core/sampling.py)")
     args = p.parse_args()
 
     spec = get_task(args.task)
@@ -106,6 +111,17 @@ def main():
         print(f"{mode:11s} vs gt   : psnr {p_q:7.3f}  ssim {s_q:.4f}")
         print(f"{mode:11s} vs bf16 : psnr {p_x:7.3f}  ssim {s_x:.4f}")
         print(f"gt-psnr delta (bf16 - {mode}): {p_b - p_q:+.4f} dB")
+    if args.cfg_cache > 1:
+        out_t = run(modules, params, ctx, un, x, s.num_inference_steps,
+                    s.strength, s.guidance_scale, s.sampler,
+                    mode="int8_static", cfg_cache=args.cfg_cache)
+        t01 = (out_t + 1) / 2
+        p_t, s_t = metrics_vs(t01, g01)
+        p_x, s_x = metrics_vs(t01, b01)
+        lbl = f"turbo(k={args.cfg_cache})"
+        print(f"{lbl:11s} vs gt   : psnr {p_t:7.3f}  ssim {s_t:.4f}")
+        print(f"{lbl:11s} vs bf16 : psnr {p_x:7.3f}  ssim {s_x:.4f}")
+        print(f"gt-psnr delta (bf16 - {lbl}): {p_b - p_t:+.4f} dB")
 
 
 if __name__ == "__main__":

@@ -167,3 +167,56 @@ def test_train_step_data_parallel_mesh(tiny_stack):
         lambda a, b: float(jnp.abs(a - b).max()), sdp.params, s1.params
     )
     assert max(jax.tree.leaves(d)) < 1e-5
+
+
+def test_cfg_cache_interval_semantics():
+    """k=1 is the exact loop; k=2 with 2 steps makes every step a 'full'
+    step (step 0 by modulo, step 1 as the forced final refresh) so outputs
+    must match the exact loop; k=2 with 5 steps actually exercises the
+    cached branch and must stay finite and bounded."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from image_restoration_and_enhancement_tpu import config as C
+    from image_restoration_and_enhancement_tpu.core import sampling
+
+    modules = sampling.SDModules.create(C.TINY_SD, dtype=jnp.float32)
+    params = sampling.init_params(modules, jax.random.PRNGKey(0), image_size=64)
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    ctx = sampling.encode_text(modules, params, jnp.zeros((1, 77), jnp.int32))
+    uctx = sampling.encode_text(modules, params, jnp.ones((1, 77), jnp.int32))
+    key = jax.random.PRNGKey(1)
+
+    exact2 = sampling.make_img2img_fn(modules, 2, 1.0, 5.0, sampler="ddim",
+                                      jit=False)(params, img, ctx, uctx, key)
+    cache2 = sampling.make_img2img_fn(modules, 2, 1.0, 5.0, sampler="ddim",
+                                      jit=False, cfg_cache_interval=2)(
+        params, img, ctx, uctx, key)
+    np.testing.assert_allclose(np.asarray(cache2), np.asarray(exact2),
+                               atol=1e-5)
+
+    exact5 = sampling.make_img2img_fn(modules, 5, 1.0, 5.0, sampler="ddim",
+                                      jit=False)(params, img, ctx, uctx, key)
+    cache5 = sampling.make_img2img_fn(modules, 5, 1.0, 5.0, sampler="ddim",
+                                      jit=False, cfg_cache_interval=2)(
+        params, img, ctx, uctx, key)
+    c5 = np.asarray(cache5)
+    assert np.isfinite(c5).all()
+    assert c5.min() >= -1.0 and c5.max() <= 1.0
+    # the cached branch must actually have been taken on steps 1 and 3
+    assert float(np.abs(c5 - np.asarray(exact5)).max()) > 1e-7
+
+    # PLMS variant compiles and runs too
+    cache_plms = sampling.make_img2img_fn(modules, 4, 1.0, 5.0,
+                                          sampler="plms", jit=False,
+                                          cfg_cache_interval=2)(
+        params, img, ctx, uctx, key)
+    assert np.isfinite(np.asarray(cache_plms)).all()
+
+    # no CFG -> knob is inert (identical program path)
+    nocfg = sampling.make_img2img_fn(modules, 3, 1.0, 0.0, sampler="ddim",
+                                     jit=False)(params, img, ctx, None, key)
+    nocfg_k = sampling.make_img2img_fn(modules, 3, 1.0, 0.0, sampler="ddim",
+                                       jit=False, cfg_cache_interval=4)(
+        params, img, ctx, None, key)
+    np.testing.assert_array_equal(np.asarray(nocfg), np.asarray(nocfg_k))

@@ -198,3 +198,65 @@ def test_tokenizer_roundtrip_decode(tmp_path):
     text = "denoise the image"
     ids = [i for i in ours(text)[0] if i not in (ours.bos_id, ours.pad_id)]
     assert ours.decode(ids) == text
+
+
+# --------------------------------------------------------------------------
+# Op-level goldens vs torch functional ops
+# --------------------------------------------------------------------------
+
+
+def test_group_norm_matches_torch_functional():
+    """Our lane-friendly two-stage GroupNorm (ops/groupnorm.py) vs
+    torch.nn.functional.group_norm — the exact op diffusers ResnetBlock2D
+    uses. NHWC here, NCHW there."""
+    from image_restoration_and_enhancement_tpu.ops import groupnorm as gn
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 6, 6, 64).astype(np.float32) * 3 + 1.5
+    w = rng.randn(64).astype(np.float32) * 0.2 + 1.0
+    b = rng.randn(64).astype(np.float32) * 0.2
+
+    ours = np.asarray(gn.group_norm(x, w, b, groups=16, eps=1e-5))
+    ref = torch.nn.functional.group_norm(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), 16,
+        torch.from_numpy(w), torch.from_numpy(b), eps=1e-5,
+    ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, ref, atol=3e-5, rtol=1e-4)
+
+
+def test_group_norm_silu_matches_torch():
+    from image_restoration_and_enhancement_tpu.ops import groupnorm as gn
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 4, 4, 32).astype(np.float32)
+    w = np.ones(32, np.float32)
+    b = np.zeros(32, np.float32)
+    ours = np.asarray(gn.group_norm(x, w, b, groups=8, eps=1e-6, act="silu"))
+    t = torch.nn.functional.group_norm(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), 8, eps=1e-6)
+    ref = torch.nn.functional.silu(t).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, ref, atol=3e-5, rtol=1e-4)
+
+
+def test_asymmetric_vae_downsample_pad_matches_torch():
+    """The VAE encoder downsample uses asymmetric (0,1) padding
+    (diffusers Downsample2D pad=(0,1,0,1)); pin our conv arrangement
+    against torch's F.pad + stride-2 conv."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(1, 9, 9, 8).astype(np.float32)
+    w = (rng.randn(3, 3, 8, 16) * 0.1).astype(np.float32)
+
+    ours = lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), (2, 2), ((0, 1), (0, 1)),
+        dimension_numbers=lax.conv_dimension_numbers(
+            x.shape, w.shape, ("NHWC", "HWIO", "NHWC")),
+    )
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    xt = torch.nn.functional.pad(xt, (0, 1, 0, 1))
+    ref = torch.nn.functional.conv2d(
+        xt, torch.from_numpy(w.transpose(3, 2, 0, 1)), stride=2,
+    ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-5, rtol=1e-4)

@@ -260,3 +260,62 @@ def test_asymmetric_vae_downsample_pad_matches_torch():
         xt, torch.from_numpy(w.transpose(3, 2, 0, 1)), stride=2,
     ).numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-5, rtol=1e-4)
+
+
+def test_lpips_importer_and_distance_vs_torch_replica():
+    """Build the torchvision-AlexNet feature trunk in torch, run the LPIPS
+    math (scaling layer, unit-normalized feature diffs, learned 1x1 lin
+    heads, spatial mean, layer sum) exactly as the `lpips` package does,
+    and require our importer + Flax LPIPSAlex to reproduce the distance.
+    Pins conv/pool padding semantics and the state-dict name mapping
+    (reference metric: /root/reference/src/metrics.py:97-111)."""
+    from image_restoration_and_enhancement_tpu.metrics import perceptual as P
+
+    torch.manual_seed(0)
+    feats = torch.nn.Sequential(
+        torch.nn.Conv2d(3, 64, 11, stride=4, padding=2), torch.nn.ReLU(),
+        torch.nn.MaxPool2d(3, 2),
+        torch.nn.Conv2d(64, 192, 5, padding=2), torch.nn.ReLU(),
+        torch.nn.MaxPool2d(3, 2),
+        torch.nn.Conv2d(192, 384, 3, padding=1), torch.nn.ReLU(),
+        torch.nn.Conv2d(384, 256, 3, padding=1), torch.nn.ReLU(),
+        torch.nn.Conv2d(256, 256, 3, padding=1), torch.nn.ReLU(),
+    ).eval()
+    chans = [64, 192, 384, 256, 256]
+    lins = [torch.rand(1, c, 1, 1) * 0.1 for c in chans]
+
+    state = {}
+    for i, m in enumerate(feats):
+        if isinstance(m, torch.nn.Conv2d):
+            state[f"net.features.{i}.weight"] = m.weight.detach().numpy()
+            state[f"net.features.{i}.bias"] = m.bias.detach().numpy()
+    for n, w in enumerate(lins):
+        state[f"lins.{n}.model.1.weight"] = w.numpy()
+    params = P.import_lpips_torch_state(state)
+
+    rng = np.random.RandomState(0)
+    a = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+    b = rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32)
+
+    ours = np.asarray(P.LPIPSAlex().apply({"params": params}, a, b))
+
+    def torch_taps(x):
+        shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+        scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+        h = (torch.from_numpy(x.transpose(0, 3, 1, 2)) - shift) / scale
+        taps = []
+        for m in feats:
+            h = m(h)
+            if isinstance(m, torch.nn.ReLU):
+                taps.append(h)
+        return taps
+
+    with torch.no_grad():
+        ta, tb = torch_taps(a), torch_taps(b)
+        ref = torch.zeros(2)
+        for xa, xb, w in zip(ta, tb, lins):
+            na = xa / (xa.square().sum(1, keepdim=True).sqrt() + 1e-10)
+            nb = xb / (xb.square().sum(1, keepdim=True).sqrt() + 1e-10)
+            diff = (na - nb) ** 2
+            ref = ref + (w.abs() * diff).sum(1).mean((1, 2))
+    np.testing.assert_allclose(ours, ref.numpy(), atol=1e-4, rtol=1e-3)

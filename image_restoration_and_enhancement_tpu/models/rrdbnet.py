@@ -118,10 +118,14 @@ def import_rrdb_torch_state(state: Dict[str, np.ndarray]) -> Dict:
             node = node.setdefault(p, {})
         node[leaf] = arr
 
+    import re
+
     for key, arr in state.items():
         arr = np.asarray(arr)
-        parts = key.replace("body.", "body_").split(".")
-        parts = [p.replace("body_", "body_") for p in parts]
+        # body.N.rdbM.convK -> body_N.rdbM.convK; a plain .replace("body.",
+        # "body_") would also mangle "conv_body.weight" and silently drop
+        # that conv (caught by tests/test_cross_framework.py's torch golden)
+        parts = re.sub(r"(?:^|(?<=\.))body\.(\d+)\.", r"body_\1.", key).split(".")
         *mods, leaf = parts
         if leaf == "weight":
             put(mods, "kernel", arr.transpose(2, 3, 1, 0))

@@ -319,3 +319,75 @@ def test_lpips_importer_and_distance_vs_torch_replica():
             diff = (na - nb) ** 2
             ref = ref + (w.abs() * diff).sum(1).mean((1, 2))
     np.testing.assert_allclose(ours, ref.numpy(), atol=1e-4, rtol=1e-3)
+
+
+def test_rrdbnet_importer_vs_torch_replica():
+    """Hand-built torch Real-ESRGAN RRDBNet (exact upstream naming:
+    conv_first, body.N.rdbM.convK, conv_body, conv_up1/2, conv_hr,
+    conv_last) -> our importer -> Flax forward must match the torch
+    forward. Catches name-mapping bugs the round-trip tests can't."""
+    from image_restoration_and_enhancement_tpu.models import rrdbnet as R
+
+    F_, G, B = 16, 8, 2  # features, growth, blocks (tiny for CPU)
+
+    class TDense(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            for i in range(1, 5):
+                setattr(self, f"conv{i}",
+                        torch.nn.Conv2d(F_ + (i - 1) * G, G, 3, padding=1))
+            self.conv5 = torch.nn.Conv2d(F_ + 4 * G, F_, 3, padding=1)
+
+        def forward(self, x):
+            l = torch.nn.functional.leaky_relu
+            c1 = l(self.conv1(x), 0.2)
+            c2 = l(self.conv2(torch.cat([x, c1], 1)), 0.2)
+            c3 = l(self.conv3(torch.cat([x, c1, c2], 1)), 0.2)
+            c4 = l(self.conv4(torch.cat([x, c1, c2, c3], 1)), 0.2)
+            c5 = self.conv5(torch.cat([x, c1, c2, c3, c4], 1))
+            return x + 0.2 * c5
+
+    class TRRDB(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.rdb1, self.rdb2, self.rdb3 = TDense(), TDense(), TDense()
+
+        def forward(self, x):
+            return x + 0.2 * self.rdb3(self.rdb2(self.rdb1(x)))
+
+    class TNet(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_first = torch.nn.Conv2d(3, F_, 3, padding=1)
+            self.body = torch.nn.Sequential(*[TRRDB() for _ in range(B)])
+            self.conv_body = torch.nn.Conv2d(F_, F_, 3, padding=1)
+            self.conv_up1 = torch.nn.Conv2d(F_, F_, 3, padding=1)
+            self.conv_up2 = torch.nn.Conv2d(F_, F_, 3, padding=1)
+            self.conv_hr = torch.nn.Conv2d(F_, F_, 3, padding=1)
+            self.conv_last = torch.nn.Conv2d(F_, 3, 3, padding=1)
+
+        def forward(self, x):
+            l = torch.nn.functional.leaky_relu
+            up = lambda v: torch.nn.functional.interpolate(v, scale_factor=2,
+                                                           mode="nearest")
+            feat = self.conv_first(x)
+            feat = feat + self.conv_body(self.body(feat))
+            feat = l(self.conv_up1(up(feat)), 0.2)
+            feat = l(self.conv_up2(up(feat)), 0.2)
+            return self.conv_last(l(self.conv_hr(feat), 0.2))
+
+    torch.manual_seed(0)
+    tnet = TNet().eval()
+    state = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    params = R.import_rrdb_torch_state(state)
+
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32)
+    ours = R.RRDBNet(num_blocks=B, features=F_, growth=G).apply(
+        {"params": params}, x)
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(ours), ref.numpy().transpose(0, 2, 3, 1),
+        atol=5e-5, rtol=1e-3,
+    )

@@ -98,3 +98,53 @@ def test_rrdbnet_arch_and_import_mapping():
     assert tree["conv_first"]["kernel"].shape == (3, 3, 3, 8)
     assert tree["body_0"]["rdb1"]["conv1"]["kernel"].shape == (3, 3, 8, 4)
     assert tree["conv_last"]["kernel"].shape == (3, 3, 8, 3)
+
+
+def test_inception_import_covers_every_param():
+    """Full-coverage structural gate: synthesize the complete torchvision
+    state dict from our init tree's paths, import it, and require the
+    imported tree to match the init tree exactly (same paths, same
+    shapes). Catches silently-dropped keys — the bug class the RRDB
+    importer had with conv_body (see models/rrdbnet.py)."""
+    import jax
+    from image_restoration_and_enhancement_tpu.metrics.inception import (
+        InceptionV3Features,
+    )
+
+    model = InceptionV3Features()
+    x = jnp.zeros((1, 75, 75, 3))
+    init = jax.eval_shape(lambda k: model.init(k, x), jax.random.PRNGKey(0))
+    init = init["params"] if "params" in init else init
+
+    leaf_map = {"bn_scale": "bn.weight", "bn_bias": "bn.bias",
+                "bn_mean": "bn.running_mean", "bn_var": "bn.running_var"}
+    state = {}
+
+    def rec(prefix, node):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                rec(prefix + [k], v)
+            elif k == "kernel":  # conv HWIO -> torch OIHW
+                state[".".join(prefix) + ".weight"] = np.zeros(
+                    (v.shape[3], v.shape[2], v.shape[0], v.shape[1]), np.float32)
+            else:
+                state[".".join(prefix + [leaf_map[k]])] = np.zeros(
+                    v.shape, np.float32)
+
+    rec([], init)
+    tree = import_inception_torch_state(state)
+
+    def flat(t, pre=""):
+        out = {}
+        for k, v in t.items():
+            if isinstance(v, dict):
+                out.update(flat(v, pre + k + "/"))
+            else:
+                out[pre + k] = tuple(v.shape)
+        return out
+
+    want, have = flat(init), flat(tree)
+    assert set(want) == set(have), (
+        sorted(set(want) - set(have))[:5], sorted(set(have) - set(want))[:5])
+    for k in want:
+        assert want[k] == have[k], (k, want[k], have[k])

@@ -29,3 +29,20 @@ __version__ = "0.1.0"
 
 # Short alias used throughout docs/tests.
 PACKAGE_ALIAS = "iret"
+
+# IRET_PLATFORM=cpu|tpu: pin the JAX platform via jax.config BEFORE backend
+# initialization. The env var JAX_PLATFORMS alone is not sufficient on
+# boxes where a TPU plugin (e.g. the axon relay) overrides platform
+# selection — and a hung relay then blocks even CPU-only CLI runs. Used by
+# the CLI subprocess tests and by users running the data/eval tooling on
+# non-TPU hosts.
+import os as _os
+
+if _os.environ.get("IRET_PLATFORM"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["IRET_PLATFORM"])
+    except Exception:  # noqa: BLE001 — backend already initialized
+        pass
+del _os

@@ -161,11 +161,15 @@ class RestorationPipeline:
         params = None
         src_dir = ft_dir if ft_dir != "nonexistent" else None
         if ft_dir and ft_dir != "nonexistent":
-            # reference semantics: model_dir/best preferred, else latest
-            found = ckpt.find_latest_checkpoint(ft_dir.rsplit("/best", 1)[0]) \
-                if ft_dir.endswith("/best") else (ft_dir if ckpt.pipeline_exists(ft_dir) else None)
-            if found is None and ckpt.pipeline_exists(ft_dir):
+            # reference semantics (_find_latest_checkpoint, inference.py:
+            # 93-137): a model dir resolves to best/ then checkpoint-N; a
+            # direct pipeline dir is used as-is.
+            if ft_dir.endswith("/best"):
+                found = ckpt.find_latest_checkpoint(ft_dir.rsplit("/best", 1)[0])
+            elif ckpt.pipeline_exists(ft_dir):
                 found = ft_dir
+            else:
+                found = ckpt.find_latest_checkpoint(ft_dir)
             if found:
                 try:
                     logger.info("Loading fine-tuned %s stack from %s", task_name, found)

@@ -21,7 +21,11 @@ SCRIPTS = os.path.join(REPO, "scripts")
 
 
 def _run(args, cwd):
-    env = dict(os.environ, JAX_PLATFORMS="")
+    # IRET_PLATFORM pins the subprocess to CPU even where a TPU
+    # plugin overrides JAX_PLATFORMS (package __init__ hook) — the
+    # chain is classical-fallback CPU work and must not depend on
+    # (or block on) the TPU relay.
+    env = dict(os.environ, IRET_PLATFORM="cpu")
     p = subprocess.run(
         [sys.executable, *args], cwd=cwd, capture_output=True, text=True,
         timeout=600, env=env,

@@ -127,3 +127,60 @@ def test_pretrained_dir_loads_stack(tmp_path):
         registry.TASKS["denoise"] = orig
     assert stack is not None
     assert "unet" in stack["params"]
+
+
+def test_pipeline_quant_and_turbo_knobs(tmp_path):
+    """quant="int8_static" + quant_calib JSON + cfg_cache_interval wired
+    through RestorationPipeline: the diffusion denoise path must run on the
+    tiny stack and produce a valid image under all three knobs at once."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from image_restoration_and_enhancement_tpu import config as C
+    from image_restoration_and_enhancement_tpu.core import checkpoint as ckpt
+    from image_restoration_and_enhancement_tpu.core import sampling
+    from image_restoration_and_enhancement_tpu.ops import quant
+    from image_restoration_and_enhancement_tpu.tasks import registry
+    import dataclasses as dc
+
+    modules = sampling.SDModules.create(C.TINY_SD, dtype=jnp.float32)
+    params = sampling.init_params(modules, jax.random.PRNGKey(0), image_size=64)
+    pdir = str(tmp_path / "ft" / "best")
+    ckpt.save_pipeline(pdir, params, C.TINY_SD)
+
+    # calibrate on a dummy image to build a real site table
+    calib = sampling.make_calib_img2img_fn(modules, 2, 0.5, 5.0, jit=False)
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    ctx = sampling.encode_text(modules, params, jnp.zeros((1, 77), jnp.int32))
+    _, stats = calib(params, img, ctx, ctx, jax.random.PRNGKey(0))
+    cpath = str(tmp_path / "calib.json")
+    with open(cpath, "w") as f:
+        json.dump({"sites": {k: float(v) for k, v in stats.items()}}, f)
+
+    tiny_spec = dc.replace(registry.get_task("denoise"), model_config=C.TINY_SD)
+    orig = registry.TASKS["denoise"]
+    registry.TASKS["denoise"] = dc.replace(
+        tiny_spec,
+        sampler=dc.replace(tiny_spec.sampler, num_inference_steps=3),
+    )
+    try:
+        p = RestorationPipeline(
+            config={"denoise": {"fine_tuned_dir": str(tmp_path / "ft"),
+                                "default_backend": "diffusion"}},
+            dtype=jnp.float32,
+            quant="int8_static",
+            quant_calib=cpath,
+            cfg_cache_interval=2,
+        )
+        rng = np.random.RandomState(0)
+        x = rng.randint(0, 255, (64, 64, 3), np.uint8)
+        out = np.asarray(p.denoise(x))
+        assert out.shape == x.shape and out.dtype == np.uint8
+        assert np.isfinite(out.astype(np.float32)).all()
+    finally:
+        registry.TASKS["denoise"] = orig
+        quant.set_mode(None)
+        quant.load_static_table({})

@@ -82,6 +82,7 @@ def test_train_cli_base_model_sdxl(pair_root, tmp_path):
          "--gradient_accumulation_steps", "1", "--image_size", "64",
          "--save_steps", "-1", "--no_mesh", "--lambda_img", "0.0"],
         capture_output=True, text=True, timeout=1200,
+        env=dict(os.environ, IRET_PLATFORM="cpu"),
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert ckpt.pipeline_exists(os.path.join(out_dir, "final"))

@@ -559,6 +559,7 @@ def make_sharded_img2img_fn(
     sampler: str = "plms",
     data_axis: str = "data",
     model_axis: Optional[str] = None,
+    cfg_cache_interval: int = 1,
 ):
     """Multi-chip serving: the img2img program jitted over a device mesh.
 
@@ -583,6 +584,7 @@ def make_sharded_img2img_fn(
     base_fn = make_img2img_fn(
         modules, num_inference_steps, strength, guidance_scale, sampler,
         jit=False, cfg_layout="interleaved",
+        cfg_cache_interval=cfg_cache_interval,
     )
 
     batch_sh = NamedSharding(mesh, P(data_axis))

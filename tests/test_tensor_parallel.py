@@ -177,3 +177,32 @@ def test_sharded_img2img_dp_has_no_collectives():
         r"\b(all-reduce|all-gather|all-to-all|collective-permute|reduce-scatter)\b",
         txt))
     assert not colls, f"unexpected collectives in DP serving HLO: {colls}"
+
+
+def test_sharded_img2img_with_cfg_cache():
+    """Turbo mode composes with the sharded serving factory: the cached
+    half-batch cond-only UNet call must also stay chip-local under the
+    interleaved CFG layout."""
+    modules = sampling.SDModules.create(C.TINY_SD, dtype=jnp.float32,
+                                        attention_backend="xla")
+    params = sampling.init_params(modules, jax.random.PRNGKey(0), image_size=64)
+    mesh = meshlib.make_mesh((8,), ("data",))
+    key = jax.random.PRNGKey(5)
+    image = jax.random.uniform(key, (8, 64, 64, 3), minval=-1.0, maxval=1.0)
+    ctx = sampling.encode_text(modules, params, jnp.zeros((8, 77), jnp.int32))
+    uctx = sampling.encode_text(modules, params, jnp.ones((8, 77), jnp.int32))
+
+    fn, shard_params = sampling.make_sharded_img2img_fn(
+        modules, mesh, num_inference_steps=4, strength=1.0,
+        guidance_scale=5.0, sampler="ddim", cfg_cache_interval=2,
+    )
+    out = fn(shard_params(params), image, ctx, uctx, key)
+    assert out.shape == (8, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # matches the single-program turbo loop (interleaved layout)
+    ref_fn = sampling.make_img2img_fn(modules, 4, 1.0, 5.0, sampler="ddim",
+                                      cfg_layout="interleaved",
+                                      cfg_cache_interval=2)
+    ref = ref_fn(params, image, ctx, uctx, key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)

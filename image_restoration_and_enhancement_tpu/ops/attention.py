@@ -651,6 +651,61 @@ def pallas_int8_attention(
     return out.reshape(b, h, nq, d).transpose(0, 2, 1, 3)
 
 
+def xla_attention_int8_pv(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray
+) -> jnp.ndarray:
+    """Fully-quantized XLA attention: s8 QK^T AND s8 PV. [B, N, H, D].
+
+    Why: at the N=4096/d=40 level-0 sites the op sits at the PADDED-MXU
+    floor (~7ms/site at CFG batch 16) — the d=40 contraction of QK^T and
+    the d=40 output width of PV each use 40/128 of the systolic array, and
+    XLA's mega-fusion already hides the softmax VPU work under the MXU
+    (every Pallas formulation lost because Mosaic gives no MXU/VPU
+    overlap, docs/STATUS.md). Quantizing BOTH matmuls to s8 (v5e int8 MXU
+    ~2x bf16) is the only remaining way to shrink the padded MXU time
+    while leaving the overlap to XLA's scheduler.
+
+    Numerics (SageAttention-style, serving-only, quality-gated by
+    scripts/eval_quant_quality.py):
+    - Q/K: dynamic per-tensor s8 with K token-mean smoothing
+      (softmax-invariant — see _smooth_quantize_qk).
+    - P: after the exact fp32 max-shift, exp(s - m) lies in (0, 1] with
+      the row max EXACTLY 1, so a fixed scale of 127 is per-row optimal:
+      p8 = round(p * 127), no clip needed.
+    - V: per-(batch*head, channel) s8 scales (free — dequant is a
+      per-output-column multiply).
+    - Normalization: V gets a constant 127-valued ones column, so the
+      PV matmul's padding lanes carry 127 * sum(p8) — the row sum of the
+      SAME quantized p8, so first-order P-rounding error cancels in the
+      divide (the trick the Pallas int8 kernel uses). No VPU sum pass.
+      The row sum can't be 0: the max element quantizes to exactly 127.
+    """
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
+    scale = 1.0 / (d**0.5)
+    qt = (q * jnp.asarray(scale, q.dtype)).transpose(0, 2, 1, 3).reshape(b * h, nq, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
+    q8, k8, s_qk = _smooth_quantize_qk(qt, kt)
+    s32 = jax.lax.dot_general(
+        q8, k8, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.int32
+    )  # [BH, Nq, Nk]
+    s = s32.astype(jnp.float32) * s_qk
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p8 = jnp.round(jnp.exp(s - m) * 127.0).astype(jnp.int8)
+    vf = vt.astype(jnp.float32)
+    sv = jnp.maximum(jnp.max(jnp.abs(vf), axis=1, keepdims=True), 1e-8) / 127.0
+    v8 = jnp.clip(jnp.round(vf / sv), -127, 127).astype(jnp.int8)
+    ones = jnp.full((b * h, nk, 1), 127, jnp.int8)
+    v8e = jnp.concatenate([v8, ones], axis=-1)
+    o32 = jax.lax.dot_general(
+        p8, v8e, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.int32
+    )  # [BH, Nq, D+1]
+    l = o32[..., d:].astype(jnp.float32)  # = 127 * sum_j p8
+    o = o32[..., :d].astype(jnp.float32) * (sv * 127.0) / l
+    return o.reshape(b, h, nq, d).transpose(0, 2, 1, 3).astype(q.dtype)
+
+
 def xla_attention_int8(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """XLA attention with s8 QK^T: halves the dominant (padding-bound) QK
     matmul while keeping XLA's pattern-matched softmax lowering intact
@@ -767,6 +822,33 @@ def _attention_tpu_int8_fwd(q, k, v):
 _attention_tpu_int8.defvjp(_attention_tpu_int8_fwd, _attention_tpu_bwd)
 
 
+# The xla int8 variants are serving-only approximations; round() has zero
+# gradient, so differentiate through the exact XLA path instead of
+# silently returning zeros.
+@jax.custom_vjp
+def _attention_xla_int8(q, k, v):
+    return xla_attention_int8(q, k, v)
+
+
+def _attention_xla_int8_fwd(q, k, v):
+    return xla_attention_int8(q, k, v), (q, k, v)
+
+
+_attention_xla_int8.defvjp(_attention_xla_int8_fwd, _attention_tpu_bwd)
+
+
+@jax.custom_vjp
+def _attention_xla_int8_pv(q, k, v):
+    return xla_attention_int8_pv(q, k, v)
+
+
+def _attention_xla_int8_pv_fwd(q, k, v):
+    return xla_attention_int8_pv(q, k, v), (q, k, v)
+
+
+_attention_xla_int8_pv.defvjp(_attention_xla_int8_pv_fwd, _attention_tpu_bwd)
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -802,7 +884,19 @@ def attention(
         # _flash_attention_kernel). 0 disables; default off until the
         # v5e A/B lands (scripts/bench_attn.py).
         flash_min = int(os.environ.get("IRET_ATTN_FLASH_MIN", "0"))
-        if (_on_tpu() and flash_min > 0 and q.shape[1] >= flash_min
+        # Quantized XLA attention for the largest self-attention sites
+        # (serving-only; read at trace time like every IRET_* knob).
+        # Requires BOTH nq and nk >= the threshold so 77-token
+        # cross-attention never takes it.
+        x8_min = int(os.environ.get("IRET_ATTN_XLA_INT8_MIN", "0"))
+        if (_on_tpu() and x8_min > 0 and q.shape[1] >= x8_min
+                and k.shape[1] >= x8_min):
+            backend = (
+                "xla_int8_pv"
+                if os.environ.get("IRET_ATTN_XLA_INT8_PV", "1") == "1"
+                else "xla_int8"
+            )
+        elif (_on_tpu() and flash_min > 0 and q.shape[1] >= flash_min
                 and q.shape[-1] <= max_d):
             backend = "flash"
         elif (_on_tpu() and min_n <= q.shape[1] <= max_n
@@ -822,7 +916,9 @@ def attention(
     if backend == "int8_interpret":  # tests
         return pallas_int8_attention(q, k, v, interpret=True)
     if backend == "xla_int8":
-        return xla_attention_int8(q, k, v)
+        return _attention_xla_int8(q, k, v)
+    if backend == "xla_int8_pv":
+        return _attention_xla_int8_pv(q, k, v)
     if backend == "pallas":
         return _attention_tpu(q, k, v)
     if backend == "pallas_packed":

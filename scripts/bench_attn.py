@@ -53,6 +53,7 @@ def main():
         "flash": jax.jit(lambda q, k, v: attn.attention(q, k, v, backend="flash")),
         "int8": jax.jit(lambda q, k, v: attn.attention(q, k, v, backend="int8")),
         "xla_int8": jax.jit(lambda q, k, v: attn.attention(q, k, v, backend="xla_int8")),
+        "xla_int8_pv": jax.jit(lambda q, k, v: attn.attention(q, k, v, backend="xla_int8_pv")),
         "packed-grid": jax.jit(
             lambda q, k, v: attn._packed_call(q, k, v, variant="grid")
         ),

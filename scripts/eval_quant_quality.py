@@ -48,7 +48,13 @@ def load_batch(pairs_dir: str, n: int, size: int):
 
 
 def run(modules, params, ctx, un, x, steps, strength, gs, sampler, mode,
-        cfg_cache=1):
+        cfg_cache=1, attn_int8_min=0):
+    # attention-quantization knob is trace-time (ops/attention.py dispatch):
+    # set it only around the quantized runs so the bf16 reference stays exact
+    if attn_int8_min:
+        os.environ["IRET_ATTN_XLA_INT8_MIN"] = str(attn_int8_min)
+    else:
+        os.environ.pop("IRET_ATTN_XLA_INT8_MIN", None)
     if mode == "int8_static":
         # calibrate on the same inputs (one dynamic-int8 pass), then trace
         # the serving fn with the scales baked in as constants
@@ -83,6 +89,11 @@ def main():
     p.add_argument("--cfg_cache", type=int, default=1,
                    help="also gate the approximate turbo mode: int8_static "
                         "with cfg_cache_interval=K (core/sampling.py)")
+    p.add_argument("--attn_int8_min", type=int, default=0,
+                   help="gate the quantized-attention path: route "
+                        "self-attention with N >= this through s8 QK/PV "
+                        "(IRET_ATTN_XLA_INT8_MIN) in the quantized runs; "
+                        "the bf16 reference run stays exact")
     args = p.parse_args()
 
     spec = get_task(args.task)
@@ -104,7 +115,8 @@ def main():
     print(f"bf16        vs gt   : psnr {p_b:7.3f}  ssim {s_b:.4f}")
     for mode in args.modes.split(","):
         out_q = run(modules, params, ctx, un, x, s.num_inference_steps,
-                    s.strength, s.guidance_scale, s.sampler, mode=mode)
+                    s.strength, s.guidance_scale, s.sampler, mode=mode,
+                    attn_int8_min=args.attn_int8_min)
         q01 = (out_q + 1) / 2
         p_q, s_q = metrics_vs(q01, g01)
         p_x, s_x = metrics_vs(q01, b01)
@@ -114,7 +126,8 @@ def main():
     if args.cfg_cache > 1:
         out_t = run(modules, params, ctx, un, x, s.num_inference_steps,
                     s.strength, s.guidance_scale, s.sampler,
-                    mode="int8_static", cfg_cache=args.cfg_cache)
+                    mode="int8_static", cfg_cache=args.cfg_cache,
+                    attn_int8_min=args.attn_int8_min)
         t01 = (out_t + 1) / 2
         p_t, s_t = metrics_vs(t01, g01)
         p_x, s_x = metrics_vs(t01, b01)

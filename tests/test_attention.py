@@ -169,6 +169,67 @@ def test_int8_attention_close():
                                    atol=1e-4, rtol=1e-4)
 
 
+def test_int8_pv_attention_close():
+    """Fully-quantized (s8 QK + s8 PV) XLA attention vs full precision:
+    the added P/V quantization noise stays bounded, including at larger N
+    where per-row P rounding errors accumulate (the quantized-row-sum
+    normalization cancels them to first order)."""
+    key = jax.random.PRNGKey(8)
+    kq, kk, kv = jax.random.split(key, 3)
+    for (b, n, h, d, nk) in [(2, 256, 4, 40, 256), (1, 512, 2, 40, 512)]:
+        q = jax.random.normal(kq, (b, n, h, d), jnp.float32)
+        k = jax.random.normal(kk, (b, nk, h, d), jnp.float32) + 0.3
+        v = jax.random.normal(kv, (b, nk, h, d), jnp.float32)
+        ref = attn.xla_attention(q, k, v)
+        got = attn.attention(q, k, v, backend="xla_int8_pv")
+        rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+        assert rel < 0.04, rel
+
+
+def test_int8_pv_normalization_row_sum():
+    """The ones-column row sum must normalize exactly: constant V columns
+    pass through unchanged regardless of the attention pattern (numerator
+    and denominator share the same quantized p8)."""
+    key = jax.random.PRNGKey(9)
+    kq, kk = jax.random.split(key, 2)
+    q = jax.random.normal(kq, (1, 64, 2, 40), jnp.float32) * 4.0
+    k = jax.random.normal(kk, (1, 64, 2, 40), jnp.float32) * 4.0
+    v = jnp.full((1, 64, 2, 40), 0.7, jnp.float32)
+    got = attn.attention(q, k, v, backend="xla_int8_pv")
+    np.testing.assert_allclose(np.asarray(got), 0.7, atol=1e-3)
+
+
+def test_int8_pv_dispatch_env(monkeypatch):
+    """IRET_ATTN_XLA_INT8_MIN routes large self-attention to the quantized
+    path but never 77-token cross-attention (nk below threshold)."""
+    called = {}
+    real = attn._attention_xla_int8_pv
+
+    def spy(q, k, v):
+        called["pv"] = True
+        return real(q, k, v)
+
+    # attention() resolves the dispatch target from module globals at call
+    # time, so patching the wrapper observes the dispatch decision.
+    monkeypatch.setattr(attn, "_attention_xla_int8_pv", spy)
+    monkeypatch.setattr(attn, "_on_tpu", lambda: True)
+    monkeypatch.setenv("IRET_ATTN_XLA_INT8_MIN", "128")
+    key = jax.random.PRNGKey(10)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (1, 256, 2, 40), jnp.float32)
+    k = jax.random.normal(kk, (1, 256, 2, 40), jnp.float32)
+    v = jax.random.normal(kv, (1, 256, 2, 40), jnp.float32)
+    # self-attention at N >= threshold -> quantized path
+    attn.attention(q, k, v)
+    assert called.get("pv")
+    # cross-attention (small KV) must NOT take it
+    called.clear()
+    kx = jax.random.normal(kk, (1, 77, 2, 40), jnp.float32)
+    vx = jax.random.normal(kv, (1, 77, 2, 40), jnp.float32)
+    attn.attention(q, kx, vx)
+    assert not called.get("pv")
+
+
 def test_int8_attention_k_smoothing_invariance():
     """K token-mean smoothing must be output-invariant (softmax shift):
     adding a constant vector to every K token changes nothing."""

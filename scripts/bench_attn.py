@@ -34,13 +34,7 @@ def timeit(f, args, iters=20):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
-def main():
-    b = int(os.environ.get("ATTN_B", "16"))
-    n = int(os.environ.get("ATTN_N", "4096"))
-    h = int(os.environ.get("ATTN_H", "8"))
-    d = int(os.environ.get("ATTN_D", "40"))
-    nk = int(os.environ.get("ATTN_NK", str(n)))
-
+def run_case(b, n, h, d, nk):
     kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
     q = jax.random.normal(kq, (b, n, h, d), jnp.bfloat16)
     k = jax.random.normal(kk, (b, nk, h, d), jnp.bfloat16)
@@ -64,6 +58,21 @@ def main():
             print(f"{name:12s} {ms:8.3f} ms   {flops/ms/1e9:7.1f} TFLOP/s (logical)")
         except Exception as e:  # compile failures are findings, not crashes
             print(f"{name:12s} FAILED: {type(e).__name__}: {str(e)[:200]}")
+
+
+def main():
+    b = int(os.environ.get("ATTN_B", "16"))
+    h = int(os.environ.get("ATTN_H", "8"))
+    d = int(os.environ.get("ATTN_D", "40"))
+    if os.environ.get("ATTN_SWEEP") == "1":
+        # the SD1.5 512px self-attention ladder: (N, heads, head_dim)
+        for (n, hh, dd) in [(4096, 8, 40), (1024, 8, 80), (256, 8, 160)]:
+            print(f"--- N={n} H={hh} D={dd} CFG-batch {b} ---")
+            run_case(b, n, hh, dd, n)
+        return
+    n = int(os.environ.get("ATTN_N", "4096"))
+    nk = int(os.environ.get("ATTN_NK", str(n)))
+    run_case(b, n, h, d, nk)
 
 
 if __name__ == "__main__":

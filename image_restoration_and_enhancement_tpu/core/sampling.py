@@ -559,6 +559,7 @@ def make_sharded_img2img_fn(
     sampler: str = "plms",
     data_axis: str = "data",
     model_axis: Optional[str] = None,
+    spatial_axis: Optional[str] = None,
     cfg_cache_interval: int = 1,
 ):
     """Multi-chip serving: the img2img program jitted over a device mesh.
@@ -572,6 +573,20 @@ def make_sharded_img2img_fn(
     If `model_axis` is given, UNet projections are additionally
     tensor-parallel over it (Megatron-style, parallel.sharding_rules) and
     XLA inserts the per-layer collectives over ICI.
+    If `spatial_axis` is given, the image HEIGHT additionally shards over
+    it — the sequence-parallel analog for vision (SURVEY §5.7: resolution
+    is this framework's context length). GSPMD partitions the convs
+    spatially (halo exchanges over ICI); semantics are unchanged, so one
+    image larger than a chip's memory can be served by a mesh row. The
+    program is traced under the parallel.spatial policy: UNet/VAE levels
+    stay height-sharded only while each shard holds >= 4 rows and are
+    pinned to batch-only sharding deeper (XLA's SPMD partitioner returns
+    WRONG VALUES for convs on thinner shards — measured geometry in
+    parallel/spatial.py; deep levels are a few KB so the gate costs one
+    tiny all-gather). Use XLA attention for this mode (the Pallas custom
+    calls have no partitioning rule, so GSPMD would gather their operands
+    to every chip): build SDModules with attention_backend="xla". The
+    image height must divide by the spatial-axis size (even input shards).
 
     Returns (fn, shard_params_fn): call `params = shard_params_fn(params)`
     once, then fn(params, image, prompt_ctx, uncond_ctx, key) with a global
@@ -580,14 +595,28 @@ def make_sharded_img2img_fn(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..parallel import sharding_rules as sr
+    from ..parallel import spatial as sp_policy
 
-    base_fn = make_img2img_fn(
+    inner_fn = make_img2img_fn(
         modules, num_inference_steps, strength, guidance_scale, sampler,
         jit=False, cfg_layout="interleaved",
         cfg_cache_interval=cfg_cache_interval,
     )
 
+    if spatial_axis is not None:
+        # The policy is consulted at TRACE time by the model blocks
+        # (models/layers.py constrain_spatial) — activate it around the
+        # traced body, not around the jit() call below.
+        def base_fn(*call_args):
+            with sp_policy.spatial_sharding(
+                mesh, data_axis=data_axis, spatial_axis=spatial_axis
+            ):
+                return inner_fn(*call_args)
+    else:
+        base_fn = inner_fn
+
     batch_sh = NamedSharding(mesh, P(data_axis))
+    image_sh = NamedSharding(mesh, P(data_axis, spatial_axis))
     repl = NamedSharding(mesh, P())
 
     def shard_params_fn(params):
@@ -599,12 +628,23 @@ def make_sharded_img2img_fn(
             )
         return jax.tree.map(jax.device_put, params, shardings)
 
-    jitted = jax.jit(base_fn, out_shardings=batch_sh)
+    jitted = jax.jit(base_fn, out_shardings=image_sh)
+
+    if spatial_axis is not None:
+        sp_size = dict(zip(mesh.axis_names, mesh.devices.shape))[spatial_axis]
+    else:
+        sp_size = 1
 
     def fn(params, image, prompt_ctx, uncond_ctx, key):
         """Contexts must be per-image ([B, 77, d]); the batch B is global
         and must divide by the data-axis size."""
-        image = jax.device_put(image, batch_sh)
+        if sp_size > 1 and image.shape[1] % sp_size != 0:
+            raise ValueError(
+                f"spatial sharding: image height {image.shape[1]} must "
+                f"divide by the {spatial_axis!r} axis size {sp_size} "
+                f"(uneven input shards)"
+            )
+        image = jax.device_put(image, image_sh)
         prompt_ctx = jax.device_put(prompt_ctx, batch_sh)
         if uncond_ctx is not None:
             uncond_ctx = jax.device_put(uncond_ctx, batch_sh)

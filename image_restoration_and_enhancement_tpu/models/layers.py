@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from ..ops import quant
 from ..ops.attention import attention as fused_attention
 from ..ops.groupnorm import group_norm as fused_group_norm
+from ..parallel.spatial import constrain as constrain_spatial
 
 # Quant-aware layer constructors: identical params/behavior to nn.Conv /
 # nn.Dense (bf16), except that when the int8 serving mode is on at trace
@@ -172,7 +173,11 @@ class ResnetBlock2D(nn.Module):
             residual = QConv(
                 self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
             )(residual)
-        return residual + h
+        # Trace-time no-op unless spatial (sequence-parallel) serving is on:
+        # pins block outputs to the level-gated height sharding so GSPMD
+        # never runs a conv on shards thinner than its window
+        # (parallel/spatial.py has the measured miscompile geometry).
+        return constrain_spatial(residual + h)
 
 
 class Downsample2D(nn.Module):
@@ -181,9 +186,9 @@ class Downsample2D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return QConv(
+        return constrain_spatial(QConv(
             self.out_channels, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype, name="conv"
-        )(x)
+        )(x))
 
 
 class Upsample2D(nn.Module):
@@ -193,7 +198,9 @@ class Upsample2D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nearest_upsample_2x(x)
-        return QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        return constrain_spatial(
+            QConv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        )
 
 
 class CrossAttention(nn.Module):
@@ -318,7 +325,7 @@ class Transformer2D(nn.Module):
             x = QConv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
         if cfg_dedup:
             residual = jnp.concatenate([residual, residual], axis=0)
-        return x + residual
+        return constrain_spatial(x + residual)
 
 
 class VAEAttentionBlock(nn.Module):

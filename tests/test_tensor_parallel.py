@@ -130,6 +130,52 @@ def test_sharded_img2img_serving_dp_tp():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_sharded_img2img_serving_dp_sp():
+    """Spatial sharding (the sequence-parallel analog for vision): image
+    height over the `sp` axis, batch over `data`. GSPMD partitions the
+    convs with halo exchanges; output must match the unsharded program.
+
+    The level-gated policy (parallel/spatial.py) is load-bearing here:
+    without it XLA's SPMD partitioner returns wrong values for convs whose
+    shards hold fewer rows than the window (measured 0.13 max abs at
+    latent 16 / sp 2 on the CPU backend). 128px -> TINY_UNET levels
+    16/8/4/2: levels 16 and 8 shard over sp=2, 4 and 2 are pinned
+    batch-only."""
+    modules = sampling.SDModules.create(C.TINY_SD, dtype=jnp.float32,
+                                        attention_backend="xla")
+    params = sampling.init_params(modules, jax.random.PRNGKey(0), image_size=128)
+    mesh = meshlib.make_mesh((4, 2), ("data", "sp"))
+    key = jax.random.PRNGKey(5)
+    image = jax.random.uniform(key, (4, 128, 128, 3), minval=-1.0, maxval=1.0)
+    ctx = sampling.encode_text(modules, params, jnp.zeros((4, 77), jnp.int32))
+
+    fn, shard_params = sampling.make_sharded_img2img_fn(
+        modules, mesh, num_inference_steps=3, strength=0.8,
+        guidance_scale=5.0, sampler="ddim", spatial_axis="sp",
+    )
+    out = fn(shard_params(params), image, ctx, ctx, key)
+    assert out.shape == (4, 128, 128, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+    ref_fn = sampling.make_img2img_fn(modules, 3, 0.8, 5.0, sampler="ddim")
+    ref = ref_fn(params, image, ctx, ctx, key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+    # 64px -> every UNet level below the 4-rows/shard gate: the policy pins
+    # them batch-only, so this stays CORRECT (it would miscompile if the
+    # input sharding propagated down the pyramid unchecked).
+    small = jax.random.uniform(key, (4, 64, 64, 3), minval=-1.0, maxval=1.0)
+    out_s = fn(shard_params(params), small, ctx, ctx, key)
+    ref_s = sampling.make_img2img_fn(modules, 3, 0.8, 5.0, sampler="ddim")(
+        params, small, ctx, ctx, key)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref_s), atol=2e-4)
+
+    # Uneven input shards (height not divisible by sp) are rejected.
+    bad = jax.random.uniform(key, (4, 63, 63, 3), minval=-1.0, maxval=1.0)
+    with pytest.raises(ValueError, match="image height"):
+        fn(shard_params(params), bad, ctx, ctx, key)
+
+
 def test_cfg_interleaved_matches_halves():
     """The interleaved CFG layout (chip-local pairs for sharded serving)
     must be bitwise-identical to the default halves layout."""

@@ -176,6 +176,33 @@ def test_sharded_img2img_serving_dp_sp():
         fn(shard_params(params), bad, ctx, ctx, key)
 
 
+def test_sharded_img2img_serving_dp_tp_sp():
+    """3-D serving layout: batch over `data`, UNet projections over
+    `model` (Megatron TP), image height over `sp` (level-gated spatial
+    policy). All three compose in one program; output must match the
+    unsharded reference."""
+    modules = sampling.SDModules.create(C.TINY_SD, dtype=jnp.float32,
+                                        attention_backend="xla")
+    params = sampling.init_params(modules, jax.random.PRNGKey(0), image_size=128)
+    mesh = meshlib.make_mesh((2, 2, 2), ("data", "model", "sp"))
+    key = jax.random.PRNGKey(6)
+    image = jax.random.uniform(key, (2, 128, 128, 3), minval=-1.0, maxval=1.0)
+    ctx = sampling.encode_text(modules, params, jnp.zeros((2, 77), jnp.int32))
+
+    with mesh:
+        fn, shard_params = sampling.make_sharded_img2img_fn(
+            modules, mesh, num_inference_steps=2, strength=0.8,
+            guidance_scale=5.0, sampler="ddim", model_axis="model",
+            spatial_axis="sp",
+        )
+        out = fn(shard_params(params), image, ctx, ctx, key)
+    assert out.shape == (2, 128, 128, 3)
+
+    ref_fn = sampling.make_img2img_fn(modules, 2, 0.8, 5.0, sampler="ddim")
+    ref = ref_fn(params, image, ctx, ctx, key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
 def test_cfg_interleaved_matches_halves():
     """The interleaved CFG layout (chip-local pairs for sharded serving)
     must be bitwise-identical to the default halves layout."""

@@ -557,14 +557,16 @@ def make_sharded_img2img_fn(
     strength: float,
     guidance_scale: float,
     sampler: str = "plms",
-    data_axis: str = "data",
+    data_axis: Optional[str] = "data",
     model_axis: Optional[str] = None,
     spatial_axis: Optional[str] = None,
     cfg_cache_interval: int = 1,
 ):
     """Multi-chip serving: the img2img program jitted over a device mesh.
 
-    The image batch (and per-image contexts) shard over `data_axis`, and
+    `data_axis=None` replicates the batch (single-image high-resolution
+    serving over a spatial/model-only mesh). Otherwise the image batch
+    (and per-image contexts) shard over `data_axis`, and
     the denoise loop uses the "interleaved" CFG layout so each image's
     uncond/cond pair stays on its own chip — HLO-verified on an 8-device
     mesh to compile with zero collectives in the pure-DP case (the

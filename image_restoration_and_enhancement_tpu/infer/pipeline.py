@@ -89,12 +89,32 @@ class RestorationPipeline:
         quant: Optional[str] = None,
         quant_calib: Optional[str] = None,
         cfg_cache_interval: int = 1,
+        mesh=None,
+        model_axis: Optional[str] = None,
+        spatial_axis: Optional[str] = None,
     ):
         self.seed = seed
         self.dtype = dtype
         self.max_size = max_size
         self.models_root = models_root
         self.attention_backend = attention_backend
+        # Multi-chip serving (beyond-reference): a jax.sharding.Mesh routes
+        # the img2img tasks through core/sampling.make_sharded_img2img_fn.
+        # spatial_axis shards the image HEIGHT (sequence parallelism for
+        # vision) so one image larger than a chip can be served by a mesh
+        # row — e.g. mesh (("sp",), 4 chips) + max_size=2048. model_axis
+        # adds Megatron TP. The pipeline serves batch 1, so the batch is
+        # replicated (data_axis=None). Inpaint stays single-chip (no
+        # sharded inpaint factory yet) — it logs and falls back.
+        self.mesh = mesh
+        self.model_axis = model_axis
+        self.spatial_axis = spatial_axis
+        if mesh is not None and spatial_axis is not None and attention_backend is None:
+            # The Pallas attention custom calls carry no GSPMD partitioning
+            # rule; under spatial sharding the XLA path is required
+            # (core/sampling.make_sharded_img2img_fn docstring).
+            logger.info("spatial_axis set: forcing attention_backend='xla'")
+            self.attention_backend = "xla"
         # >1 = opt-in approximate turbo serving (core/sampling.py
         # cfg_cache_interval); quality-gate with scripts/eval_quant_quality
         # --cfg_cache before enabling in production.
@@ -264,12 +284,30 @@ class RestorationPipeline:
         key = (stack["spec"].name, kind, steps, round(strength, 4), round(gs, 4),
                sampler, self.cfg_cache_interval)
         if key not in self._fn_cache:
-            maker = sampling.make_inpaint_fn if kind == "inpaint" else sampling.make_img2img_fn
-            self._fn_cache[key] = maker(
-                stack["modules"], num_inference_steps=steps, strength=strength,
-                guidance_scale=gs, sampler=sampler,
-                cfg_cache_interval=self.cfg_cache_interval,
-            )
+            if self.mesh is not None and kind != "inpaint":
+                fn, shard_params = sampling.make_sharded_img2img_fn(
+                    stack["modules"], self.mesh, num_inference_steps=steps,
+                    strength=strength, guidance_scale=gs, sampler=sampler,
+                    data_axis=None, model_axis=self.model_axis,
+                    spatial_axis=self.spatial_axis,
+                    cfg_cache_interval=self.cfg_cache_interval,
+                )
+                if "sharded_params" not in stack:
+                    stack["sharded_params"] = shard_params(stack["params"])
+                sharded = stack["sharded_params"]
+                self._fn_cache[key] = (
+                    lambda p, *a, _fn=fn, _sp=sharded: _fn(_sp, *a)
+                )
+            else:
+                if self.mesh is not None:
+                    logger.info("inpaint has no sharded factory; single-chip")
+                maker = (sampling.make_inpaint_fn if kind == "inpaint"
+                         else sampling.make_img2img_fn)
+                self._fn_cache[key] = maker(
+                    stack["modules"], num_inference_steps=steps, strength=strength,
+                    guidance_scale=gs, sampler=sampler,
+                    cfg_cache_interval=self.cfg_cache_interval,
+                )
         return self._fn_cache[key]
 
     # ------------------------------------------------------------------

@@ -184,3 +184,49 @@ def test_pipeline_quant_and_turbo_knobs(tmp_path):
         registry.TASKS["denoise"] = orig
         quant.set_mode(None)
         quant.load_static_table({})
+
+
+def test_pipeline_spatial_sharded_serving(tmp_path):
+    """mesh + spatial_axis wired through RestorationPipeline: the denoise
+    diffusion path runs the sharded img2img program (image height over
+    `sp`, batch replicated) and matches the single-device pipeline's
+    output exactly (same seed, same weights)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from image_restoration_and_enhancement_tpu import config as C
+    from image_restoration_and_enhancement_tpu.core import checkpoint as ckpt
+    from image_restoration_and_enhancement_tpu.core import sampling
+    from image_restoration_and_enhancement_tpu.parallel import mesh as meshlib
+    from image_restoration_and_enhancement_tpu.tasks import registry
+
+    modules = sampling.SDModules.create(C.TINY_SD, dtype=jnp.float32)
+    params = sampling.init_params(modules, jax.random.PRNGKey(0), image_size=64)
+    pdir = str(tmp_path / "ft" / "best")
+    ckpt.save_pipeline(pdir, params, C.TINY_SD)
+
+    tiny_spec = dc.replace(registry.get_task("denoise"), model_config=C.TINY_SD)
+    orig = registry.TASKS["denoise"]
+    registry.TASKS["denoise"] = dc.replace(
+        tiny_spec, sampler=dc.replace(tiny_spec.sampler, num_inference_steps=3),
+    )
+    cfg = {"denoise": {"fine_tuned_dir": str(tmp_path / "ft"),
+                       "default_backend": "diffusion"}}
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 255, (128, 128, 3), np.uint8)
+    try:
+        ref = np.asarray(RestorationPipeline(config=cfg, dtype=jnp.float32,
+                                             attention_backend="xla").denoise(x))
+        mesh = meshlib.make_mesh((2,), ("sp",), devices=jax.devices()[:2])
+        p = RestorationPipeline(config=cfg, dtype=jnp.float32,
+                                mesh=mesh, spatial_axis="sp")
+        assert p.attention_backend == "xla"  # forced by spatial_axis
+        out = np.asarray(p.denoise(x))
+    finally:
+        registry.TASKS["denoise"] = orig
+    assert out.shape == x.shape and out.dtype == np.uint8
+    np.testing.assert_allclose(out.astype(np.int32), ref.astype(np.int32),
+                               atol=1)  # uint8 rounding of fp noise

@@ -508,6 +508,7 @@ def make_inpaint_fn(
     guidance_scale: float,
     sampler: str = "ddim",
     jit: bool = True,
+    cfg_layout: str = "halves",
     cfg_cache_interval: int = 1,
 ) -> Callable:
     """Build fn(params, image, mask, prompt_ctx, uncond_ctx, key) -> image.
@@ -543,6 +544,7 @@ def make_inpaint_fn(
             modules, params, latents, prompt_ctx, uncond_ctx, plan,
             guidance_scale, sampler,
             extra_channels=jnp.concatenate([mask_lat, masked_latents], axis=-1),
+            cfg_layout=cfg_layout,
             cfg_cache_interval=cfg_cache_interval,
         )
         return decode_latents(modules, params, latents)
@@ -594,16 +596,57 @@ def make_sharded_img2img_fn(
     once, then fn(params, image, prompt_ctx, uncond_ctx, key) with a global
     batch divisible by the data-axis size.
     """
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from ..parallel import sharding_rules as sr
-    from ..parallel import spatial as sp_policy
-
     inner_fn = make_img2img_fn(
         modules, num_inference_steps, strength, guidance_scale, sampler,
         jit=False, cfg_layout="interleaved",
         cfg_cache_interval=cfg_cache_interval,
     )
+    return _shard_serving_fn(
+        mesh, inner_fn, data_axis=data_axis, model_axis=model_axis,
+        spatial_axis=spatial_axis, n_spatial_args=1,
+    )
+
+
+def make_sharded_inpaint_fn(
+    modules: SDModules,
+    mesh,
+    num_inference_steps: int,
+    strength: float,
+    guidance_scale: float,
+    sampler: str = "ddim",
+    data_axis: Optional[str] = "data",
+    model_axis: Optional[str] = None,
+    spatial_axis: Optional[str] = None,
+    cfg_cache_interval: int = 1,
+):
+    """Multi-chip inpaint serving: make_inpaint_fn jitted over a mesh.
+
+    Same layout contract as make_sharded_img2img_fn (which documents the
+    axes); the mask shards like the image ([B, H, W, 1] over
+    (data_axis, spatial_axis)). Returns (fn, shard_params_fn) with
+    fn(params, image, mask, prompt_ctx, uncond_ctx, key)."""
+    inner_fn = make_inpaint_fn(
+        modules, num_inference_steps, strength, guidance_scale, sampler,
+        jit=False, cfg_layout="interleaved",
+        cfg_cache_interval=cfg_cache_interval,
+    )
+    return _shard_serving_fn(
+        mesh, inner_fn, data_axis=data_axis, model_axis=model_axis,
+        spatial_axis=spatial_axis, n_spatial_args=2,
+    )
+
+
+def _shard_serving_fn(mesh, inner_fn, data_axis, model_axis, spatial_axis,
+                      n_spatial_args):
+    """Shared sharding wrapper for the serving factories.
+
+    inner_fn(params, *spatial_args, prompt_ctx, uncond_ctx, key): the first
+    n_spatial_args arrays are [B, H, ...]-shaped and shard over
+    (data_axis, spatial_axis); contexts shard over data_axis only."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel import sharding_rules as sr
+    from ..parallel import spatial as sp_policy
 
     if spatial_axis is not None:
         # The policy is consulted at TRACE time by the model blocks
@@ -637,20 +680,24 @@ def make_sharded_img2img_fn(
     else:
         sp_size = 1
 
-    def fn(params, image, prompt_ctx, uncond_ctx, key):
+    def fn(params, *args):
         """Contexts must be per-image ([B, 77, d]); the batch B is global
         and must divide by the data-axis size."""
-        if sp_size > 1 and image.shape[1] % sp_size != 0:
+        spatial_args = args[:n_spatial_args]
+        prompt_ctx, uncond_ctx, key = args[n_spatial_args:]
+        if sp_size > 1 and spatial_args[0].shape[1] % sp_size != 0:
             raise ValueError(
-                f"spatial sharding: image height {image.shape[1]} must "
-                f"divide by the {spatial_axis!r} axis size {sp_size} "
+                f"spatial sharding: image height {spatial_args[0].shape[1]} "
+                f"must divide by the {spatial_axis!r} axis size {sp_size} "
                 f"(uneven input shards)"
             )
-        image = jax.device_put(image, image_sh)
+        spatial_args = tuple(
+            jax.device_put(a, image_sh) for a in spatial_args
+        )
         prompt_ctx = jax.device_put(prompt_ctx, batch_sh)
         if uncond_ctx is not None:
             uncond_ctx = jax.device_put(uncond_ctx, batch_sh)
-        return jitted(params, image, prompt_ctx, uncond_ctx, key)
+        return jitted(params, *spatial_args, prompt_ctx, uncond_ctx, key)
 
     return fn, shard_params_fn
 

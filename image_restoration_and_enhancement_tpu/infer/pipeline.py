@@ -104,8 +104,8 @@ class RestorationPipeline:
         # vision) so one image larger than a chip can be served by a mesh
         # row — e.g. mesh (("sp",), 4 chips) + max_size=2048. model_axis
         # adds Megatron TP. The pipeline serves batch 1, so the batch is
-        # replicated (data_axis=None). Inpaint stays single-chip (no
-        # sharded inpaint factory yet) — it logs and falls back.
+        # replicated (data_axis=None). Inpaint routes through
+        # make_sharded_inpaint_fn (mask shards like the image).
         self.mesh = mesh
         self.model_axis = model_axis
         self.spatial_axis = spatial_axis
@@ -284,8 +284,10 @@ class RestorationPipeline:
         key = (stack["spec"].name, kind, steps, round(strength, 4), round(gs, 4),
                sampler, self.cfg_cache_interval)
         if key not in self._fn_cache:
-            if self.mesh is not None and kind != "inpaint":
-                fn, shard_params = sampling.make_sharded_img2img_fn(
+            if self.mesh is not None:
+                maker = (sampling.make_sharded_inpaint_fn if kind == "inpaint"
+                         else sampling.make_sharded_img2img_fn)
+                fn, shard_params = maker(
                     stack["modules"], self.mesh, num_inference_steps=steps,
                     strength=strength, guidance_scale=gs, sampler=sampler,
                     data_axis=None, model_axis=self.model_axis,
@@ -299,8 +301,6 @@ class RestorationPipeline:
                     lambda p, *a, _fn=fn, _sp=sharded: _fn(_sp, *a)
                 )
             else:
-                if self.mesh is not None:
-                    logger.info("inpaint has no sharded factory; single-chip")
                 maker = (sampling.make_inpaint_fn if kind == "inpaint"
                          else sampling.make_img2img_fn)
                 self._fn_cache[key] = maker(

@@ -203,6 +203,31 @@ def test_sharded_img2img_serving_dp_tp_sp():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+def test_sharded_inpaint_serving_dp_sp():
+    """The inpaint program (9-ch UNet, mask + masked-latent side channels)
+    under batch + spatial sharding matches the unsharded program."""
+    modules = sampling.SDModules.create(C.TINY_SD_INPAINT, dtype=jnp.float32,
+                                        attention_backend="xla")
+    params = sampling.init_params(modules, jax.random.PRNGKey(0), image_size=128)
+    mesh = meshlib.make_mesh((4, 2), ("data", "sp"))
+    key = jax.random.PRNGKey(7)
+    image = jax.random.uniform(key, (4, 128, 128, 3), minval=-1.0, maxval=1.0)
+    mask = jnp.zeros((4, 128, 128, 1)).at[:, 32:96, 32:96].set(1.0)
+    ctx = sampling.encode_text(modules, params, jnp.zeros((4, 77), jnp.int32))
+
+    fn, shard_params = sampling.make_sharded_inpaint_fn(
+        modules, mesh, num_inference_steps=3, strength=0.9,
+        guidance_scale=5.0, sampler="ddim", spatial_axis="sp",
+    )
+    out = fn(shard_params(params), image, mask, ctx, ctx, key)
+    assert out.shape == (4, 128, 128, 3)
+
+    ref_fn = sampling.make_inpaint_fn(modules, 3, 0.9, 5.0, sampler="ddim",
+                                      cfg_layout="interleaved")
+    ref = ref_fn(params, image, mask, ctx, ctx, key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
 def test_cfg_interleaved_matches_halves():
     """The interleaved CFG layout (chip-local pairs for sharded serving)
     must be bitwise-identical to the default halves layout."""

@@ -116,7 +116,7 @@ def conv3x3_same_int8(
                           n_tiles=n_tiles),
         grid=(b, m_tiles, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
             pl.BlockSpec((9, c, tile_n), lambda b, i, j: (0, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_n), lambda b, i, j: (0, j),

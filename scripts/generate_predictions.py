@@ -25,9 +25,29 @@ def main():
     p.add_argument("--tasks", nargs="+", default=list(TASKS), choices=list(TASKS))
     p.add_argument("--split", default="test")
     p.add_argument("--max_images", type=int, default=None)
+    p.add_argument("--max_size", type=int, default=1024,
+                   help="resolution cap (reference's >1MP guard); raise it "
+                        "together with --spatial_shards for high-res runs")
+    p.add_argument("--spatial_shards", type=int, default=0,
+                   help="shard each image's height over this many chips "
+                        "(sequence parallelism for vision; docs/SERVING.md)")
     args = p.parse_args()
 
-    pipeline = RestorationPipeline(models_root=args.models_root)
+    mesh_kwargs = {}
+    if args.spatial_shards > 1:
+        import jax
+
+        from image_restoration_and_enhancement_tpu.parallel import mesh as meshlib
+
+        mesh_kwargs = {
+            "mesh": meshlib.make_mesh(
+                (args.spatial_shards,), ("sp",),
+                devices=jax.devices()[: args.spatial_shards],
+            ),
+            "spatial_axis": "sp",
+        }
+    pipeline = RestorationPipeline(models_root=args.models_root,
+                                   max_size=args.max_size, **mesh_kwargs)
     for task in args.tasks:
         spec = TASKS[task]
         in_dir = os.path.join(args.data_root, spec.pair_dir, args.split, "input")

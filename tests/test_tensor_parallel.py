@@ -304,3 +304,57 @@ def test_sharded_img2img_with_cfg_cache():
                                       cfg_cache_interval=2)
     ref = ref_fn(params, image, ctx, uctx, key)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_spatial_policy_gating_unit():
+    """parallel/spatial.constrain: height-sharded only while every shard
+    keeps >= min_rows rows (and H divides); batch-only otherwise; no-op
+    with no active policy or non-4D input."""
+    from image_restoration_and_enhancement_tpu.parallel import spatial as sp
+
+    mesh = meshlib.make_mesh((4, 2), ("data", "sp"))
+
+    with sp.spatial_sharding(mesh, "data", "sp", min_rows=4):
+        def f(x):
+            return sp.constrain(x)
+        for h, expect_sp in [(16, True), (8, True), (4, False), (2, False),
+                             (6, False)]:  # 6 % 2 == 0 but 3 < min_rows
+            y = jax.jit(f)(jax.device_put(
+                jnp.zeros((4, h, 8, 8)),
+                jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))))
+            spec = y.sharding.spec
+            got_sp = len(spec) > 1 and spec[1] == "sp"
+            assert got_sp == expect_sp, (h, spec)
+        # non-4D passes through untouched
+        z = jnp.zeros((4, 77, 16))
+        assert sp.constrain(z) is z
+    # no policy active -> identity
+    w = jnp.zeros((4, 16, 16, 8))
+    assert sp.constrain(w) is w
+
+
+def test_sharded_img2img_sdxl_dp_sp():
+    """The SDXL stack (dual text towers, (context, pooled) tuples,
+    text_time conditioning) serves under batch + spatial sharding and
+    matches the unsharded program."""
+    modules = sampling.SDModules.create(C.TINY_SDXL, dtype=jnp.float32,
+                                        attention_backend="xla")
+    params = sampling.init_params(modules, jax.random.PRNGKey(0), image_size=128)
+    mesh = meshlib.make_mesh((2, 2), ("data", "sp"),
+                             devices=jax.devices()[:4])
+    key = jax.random.PRNGKey(8)
+    image = jax.random.uniform(key, (2, 128, 128, 3), minval=-1.0, maxval=1.0)
+    ids = jnp.zeros((2, 77), jnp.int32)
+    ctx = sampling.encode_text_sdxl(modules, params, ids)
+
+    fn, shard_params = sampling.make_sharded_img2img_fn(
+        modules, mesh, num_inference_steps=2, strength=0.8,
+        guidance_scale=5.0, sampler="ddim", spatial_axis="sp",
+    )
+    out = fn(shard_params(params), image, ctx, ctx, key)
+    assert out.shape == (2, 128, 128, 3)
+
+    ref_fn = sampling.make_img2img_fn(modules, 2, 0.8, 5.0, sampler="ddim",
+                                      cfg_layout="interleaved")
+    ref = ref_fn(params, image, ctx, ctx, key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)

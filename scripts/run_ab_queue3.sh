@@ -1,0 +1,20 @@
+#!/bin/bash
+# Stage 3: Pallas int8 conv kernel tile sweep at the real serving shapes
+# (the level-0 resnet convs run at 150-227 TOPS on XLA's s8 emitter vs
+# ~380 for peers; the kernel lost at default tiles — check the tile grid).
+set -u
+OUT=${OUT:-/tmp/ab_results.txt}
+cd "$(dirname "$0")/.."
+
+while ! grep -q "stage2 done" "$OUT" 2>/dev/null; do sleep 120; done
+
+echo "=== stage3 start $(date) ===" >> "$OUT"
+for tm in 256 512 1024; do
+  for tn in 256 512; do
+    echo "--- conv kernel tile_m=$tm tile_n=$tn" >> "$OUT"
+    IRET_CONV_TILE_M=$tm IRET_CONV_TILE_N=$tn \
+      timeout 2400 python scripts/bench_conv_int8.py --shapes unet \
+      >> "$OUT" 2>/tmp/ab3_conv.err
+  done
+done
+echo "=== stage3 done $(date) ===" >> "$OUT"

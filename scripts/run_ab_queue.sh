@@ -35,8 +35,13 @@ run() {
 
 # A: confirm the shipping default still measures ~3.99
 run baseline_int8_static_b8
+# A2: quantized s8 QK+PV attention at the five N=4096 sites (the 700ms
+# block; projected ~+0.4 img/s). Approximate — quality gate in stage 2.
+run attn_x8 IRET_ATTN_XLA_INT8_MIN=4096
 # B: zero-pad the 960-ch concat conv to 1024 lanes (exact; bitwise-tested)
 run pad_conv_cin IRET_PAD_CONV_CIN=1
+# B2: attn quant + pad combo
+run attn_x8_pad IRET_ATTN_XLA_INT8_MIN=4096 IRET_PAD_CONV_CIN=1
 # C: batch 12 (new program shape -> fresh compile)
 run batch12 BENCH_BATCH=12
 # D: combo if both matter independently — cheap to just measure

@@ -223,13 +223,15 @@ def conv_general_dilated(
     xq, sx = _quantize_activation(lhs)
     wq, sw = _quantize_weight_out_channel(rhs)  # HWIO -> scale [O]
 
-    # IRET_PAD_CONV_CIN=1 (trace-time): zero-pad non-128-multiple input
-    # channel counts up to the lane tile. The only serving shape this hits
-    # is the 960-ch up-block concat conv (960 = 7.5 lane tiles), whose s8
-    # emitter runs at 150 TOPS vs ~380 for its 128-multiple peers (trace
-    # r2). Zero channels contribute zero to the integer accumulation, so
-    # the result is exact; the pad fuses into the quantize pass.
-    if os.environ.get("IRET_PAD_CONV_CIN") == "1" and lhs.ndim == 4:
+    # Zero-pad non-128-multiple input channel counts up to the lane tile
+    # (DEFAULT ON; IRET_PAD_CONV_CIN=0 to disable — trace-time). The only
+    # serving shape this hits is the 960-ch up-block concat conv (960 =
+    # 7.5 lane tiles), whose s8 emitter runs at 150 TOPS vs ~380 for its
+    # 128-multiple peers (trace r2). Zero channels contribute zero to the
+    # integer accumulation, so the result is exact (bitwise-tested); the
+    # pad fuses into the quantize pass. Measured end-to-end on v5e:
+    # 4.051 vs 3.994 img/s (+1.4%, r2 session 6 A/B).
+    if os.environ.get("IRET_PAD_CONV_CIN", "1") != "0" and lhs.ndim == 4:
         ci = xq.shape[-1]
         pad = (-ci) % 128
         if pad and ci >= 896:
@@ -239,9 +241,18 @@ def conv_general_dilated(
     # IRET_CONV_KERNEL=1: route 3x3/stride-1/SAME convs through the
     # implicit-GEMM Pallas kernel (ops/conv_int8.py) — nine accumulated MXU
     # matmuls at the s8 matmul rate instead of XLA's slower s8 conv lowering.
+    # IRET_CONV_KERNEL_HW (optional, e.g. "64,32"): only route convs whose
+    # spatial height is in the list — lets a per-shape kernel win ship
+    # without regressing the levels where XLA's emitter is faster (same
+    # measured-window pattern as the attention dispatch, ops/attention.py).
     pad_tuple = tuple(map(tuple, padding)) if not isinstance(padding, str) else padding
+    hw_gate = os.environ.get("IRET_CONV_KERNEL_HW", "")
+    hw_ok = (not hw_gate) or (
+        lhs.ndim == 4 and str(lhs.shape[1]) in hw_gate.split(",")
+    )
     if (
         os.environ.get("IRET_CONV_KERNEL") == "1"
+        and hw_ok
         and rhs.shape[:2] == (3, 3)
         and tuple(window_strides) == (1, 1)
         and pad_tuple in (((1, 1), (1, 1)), "SAME")

@@ -9,19 +9,23 @@ while ! grep -q "ab queue done" "$OUT" 2>/dev/null; do sleep 120; done
 
 echo "=== stage2 start $(date) ===" >> "$OUT"
 
-# Quality gate for the quantized N=4096 attention (approximate mode):
-# must run at 512px so the sites the serving loop quantizes are the ones
-# being gated. Reports int8-vs-bf16 output PSNR/SSIM + gt-metric deltas.
-echo "--- gate attn_x8_pv 512px" >> "$OUT"
-timeout 3000 python scripts/eval_quant_quality.py \
-  --size 512 --n 4 --modes int8_static --attn_int8_min 4096 \
-  >> "$OUT" 2>/tmp/ab2_gate_attn.err
+# (The planned quantized-attention quality gate was dropped: stage 1
+# measured IRET_ATTN_XLA_INT8_MIN=4096 at 1.66 img/s vs 3.99 baseline —
+# quantize ops break XLA's streaming-softmax pattern, so the [16,8,4096,
+# 4096] score tensor materializes. Perf-dead; no point gating quality.)
 
-# Quality gate for turbo k=2 (uncond CFG branch reuse)
-echo "--- gate turbo_k2" >> "$OUT"
-timeout 3000 python scripts/eval_quant_quality.py \
-  --size 512 --n 4 --modes int8_static --cfg_cache 2 \
-  >> "$OUT" 2>/tmp/ab2_gate_turbo.err
+# Quality gate for turbo k=2 (uncond CFG branch reuse). Needs trained
+# weights; the realrun checkpoint was wiped with the VM (untracked 4GB) —
+# if absent, the gate re-runs post-workflow against the fresh checkpoint
+# (scripts/run_post_workflow.sh).
+if [ -d outputs/models/denoising_realrun/best ]; then
+  echo "--- gate turbo_k2" >> "$OUT"
+  timeout 3000 python scripts/eval_quant_quality.py \
+    --size 512 --n 4 --modes int8_static --cfg_cache 2 \
+    >> "$OUT" 2>/tmp/ab2_gate_turbo.err
+else
+  echo "--- gate turbo_k2 SKIPPED (no checkpoint; deferred to post-workflow)" >> "$OUT"
+fi
 
 # Attention ladder sweep (kernel-level timings across the SD 512px sites)
 echo "--- attn sweep" >> "$OUT"

@@ -17,4 +17,15 @@ for tm in 256 512 1024; do
       >> "$OUT" 2>/tmp/ab3_conv.err
   done
 done
+echo "=== stage3 sweep complete $(date) ===" >> "$OUT"
+
+# Manual follow-up window: the reference-workflow runner (stage 4, ~5h of
+# TPU) triggers on "stage3 done". Hold that sentinel for up to 100 min so
+# a live session can run e2e benches with the sweep's winning tiles first
+# (touch /tmp/stage4_go to release early; the deadline guarantees the
+# workflow still runs unattended).
+for _ in $(seq 100); do
+  [ -f /tmp/stage4_go ] && break
+  sleep 60
+done
 echo "=== stage3 done $(date) ===" >> "$OUT"

@@ -1,0 +1,29 @@
+#!/bin/bash
+# Stage 5: post-workflow quality gates, run against the fresh trained
+# checkpoint the reference-workflow stage just produced (the previous
+# realrun checkpoint was untracked and wiped with the VM).
+#
+# Gates (scripts/eval_quant_quality.py, real val pairs, 512px):
+#   - int8_static vs bf16 (the shipping serving mode)
+#   - turbo k=2 (opt-in approximate CFG-cache mode)
+set -u
+OUT=${OUT:-/tmp/ab_results.txt}
+LOG=${LOG:-/tmp/workflow.log}
+cd "$(dirname "$0")/.."
+
+while ! grep -q "reference workflow done" "$LOG" 2>/dev/null; do sleep 180; done
+
+echo "=== stage5 (post-workflow gates) start $(date) ===" >> "$OUT"
+
+CKPT=outputs/models/denoising/best
+if [ ! -d "$CKPT" ]; then
+  echo "stage5: no checkpoint at $CKPT — skipping gates" >> "$OUT"
+  exit 0
+fi
+
+echo "--- gate int8_static + turbo_k2 @512px (fresh checkpoint)" >> "$OUT"
+timeout 4000 python scripts/eval_quant_quality.py \
+  --checkpoint "$CKPT" --size 512 --n 4 --modes int8_static --cfg_cache 2 \
+  >> "$OUT" 2>/tmp/ab5_gate.err
+
+echo "=== stage5 done $(date) ===" >> "$OUT"

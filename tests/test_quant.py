@@ -159,6 +159,38 @@ def test_implicit_gemm_conv_kernel_tiling(monkeypatch):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_conv_kernel_hw_gate_routes_by_spatial_size(monkeypatch):
+    """IRET_CONV_KERNEL_HW limits Pallas-kernel routing to the listed
+    spatial heights (per-shape measured window, like the attention
+    dispatch); other shapes stay on the XLA int8 conv."""
+    from image_restoration_and_enhancement_tpu.ops import conv_int8
+
+    calls = []
+    real = conv_int8.conv3x3_same_int8
+
+    def spy(*a, **kw):
+        calls.append(a[0].shape)
+        return real(*a, interpret=True, **{k: v for k, v in kw.items()
+                                           if k != "interpret"})
+
+    monkeypatch.setattr(conv_int8, "conv3x3_same_int8", spy)
+    monkeypatch.setenv("IRET_CONV_KERNEL", "1")
+    monkeypatch.setenv("IRET_CONV_KERNEL_HW", "8,16")
+
+    key = jax.random.PRNGKey(7)
+    for h, should_route in [(8, True), (16, True), (4, False)]:
+        calls.clear()
+        x = jax.random.normal(jax.random.fold_in(key, h), (1, h, h, 16))
+        wgt = jax.random.normal(jax.random.fold_in(key, 99), (3, 3, 16, 8)) * 0.1
+        dn = jax.lax.conv_dimension_numbers(x.shape, wgt.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        with quant.quant_mode("int8"):
+            out = quant.conv_general_dilated(
+                x, wgt, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn)
+        assert bool(calls) == should_route, (h, calls)
+        assert np.isfinite(np.asarray(out)).all()
+
+
 def test_static_calibration_roundtrip(tiny_stack):
     """int8_static: calibrate -> static table -> serving trace has no
     dynamic fallbacks and stays close to the bf16 loop (the absmax reduces

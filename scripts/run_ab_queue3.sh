@@ -19,6 +19,23 @@ for tm in 256 512 1024; do
 done
 echo "=== stage3 sweep complete $(date) ===" >> "$OUT"
 
+# Auto-pick the winning tile config from the sweep and A/B it end-to-end
+# (kernel routed only at the heights where it beat XLA; ops/quant.py
+# IRET_CONV_KERNEL_HW). Skipped if no config wins anywhere.
+if CFG=$(python scripts/pick_conv_kernel_config.py "$OUT"); then
+  echo "--- conv_kernel_e2e start ($(echo $CFG | tr '\n' ' ')) $(date)" >> "$OUT"
+  line=$(env $CFG timeout 2400 python bench.py 2>/tmp/ab3_e2e.err | tail -1)
+  echo "conv_kernel_e2e $line" >> "$OUT"
+else
+  echo "--- conv_kernel_e2e SKIPPED (kernel never beat XLA)" >> "$OUT"
+fi
+
+# VAE-decode shapes with the same kernel (125ms/call block; the decoder's
+# 512px c128 stages ran at 56-85 TFLOP/s in bf16) — kernel-level only.
+echo "--- conv kernel vae shapes" >> "$OUT"
+timeout 2400 python scripts/bench_conv_int8.py --shapes vae \
+  >> "$OUT" 2>>/tmp/ab3_conv.err
+
 # Manual follow-up window: the reference-workflow runner (stage 4, ~5h of
 # TPU) triggers on "stage3 done". Hold that sentinel for up to 100 min so
 # a live session can run e2e benches with the sweep's winning tiles first

@@ -26,4 +26,11 @@ timeout 4000 python scripts/eval_quant_quality.py \
   --checkpoint "$CKPT" --size 512 --n 4 --modes int8_static --cfg_cache 2 \
   >> "$OUT" 2>/tmp/ab5_gate.err
 
+# turbo k=3 ladder point (stage-1 measured k=2 at 4.129 img/s; gate the
+# next rung so the serving guide can state its quality cost too)
+echo "--- gate turbo_k3 @512px" >> "$OUT"
+timeout 4000 python scripts/eval_quant_quality.py \
+  --checkpoint "$CKPT" --size 512 --n 4 --modes int8_static --cfg_cache 3 \
+  >> "$OUT" 2>/tmp/ab5_gate_k3.err
+
 echo "=== stage5 done $(date) ===" >> "$OUT"

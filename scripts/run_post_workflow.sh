@@ -33,4 +33,13 @@ timeout 4000 python scripts/eval_quant_quality.py \
   --checkpoint "$CKPT" --size 512 --n 4 --modes int8_static --cfg_cache 3 \
   >> "$OUT" 2>/tmp/ab5_gate_k3.err
 
+# breadth: int8 gate on a second task family (SR's 25-step/gs-3.5 recipe)
+if [ -d outputs/models/super_resolution/best ]; then
+  echo "--- gate int8_static sr_x4 @512px" >> "$OUT"
+  timeout 4000 python scripts/eval_quant_quality.py \
+    --checkpoint outputs/models/super_resolution/best --task sr_x4 \
+    --pairs data/pairs/sr_x4/val --size 512 --n 4 --modes int8_static \
+    >> "$OUT" 2>/tmp/ab5_gate_sr.err
+fi
+
 echo "=== stage5 done $(date) ===" >> "$OUT"

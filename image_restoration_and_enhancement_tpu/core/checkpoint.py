@@ -95,12 +95,21 @@ def save_pipeline(
     params: Dict[str, Any],
     config,
     extra_meta: Optional[Dict[str, Any]] = None,
+    skip_existing: Tuple[str, ...] = (),
 ) -> None:
-    """Write a full pipeline checkpoint: per-component safetensors + configs."""
+    """Write a full pipeline checkpoint: per-component safetensors + configs.
+
+    skip_existing: components whose safetensors file is NOT rewritten when it
+    already exists in `directory`. The trainer passes its frozen components
+    (VAE/text encoders) here so repeated best-checkpoint saves only rewrite
+    the UNet — on slow disks the frozen ~1GB was a third of every save."""
     os.makedirs(directory, exist_ok=True)
     for comp in _COMPONENTS:
         if comp in params:
-            save_params(params[comp], os.path.join(directory, comp, "model.safetensors"))
+            path = os.path.join(directory, comp, "model.safetensors")
+            if comp in skip_existing and os.path.exists(path):
+                continue
+            save_params(params[comp], path)
     meta = {
         "_framework": "image_restoration_and_enhancement_tpu",
         "components": [c for c in _COMPONENTS if c in params],
@@ -171,8 +180,17 @@ class TrainCheckpointer:
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
         )
 
-    def save(self, step: int, state) -> None:
+    def save(self, step: int, state, wait: bool = False) -> None:
+        """Kick off an async save. By default does NOT block on the background
+        commit: on slow disks the finalize of a 3.2GiB state takes 10+ minutes
+        and blocking here serialized the whole epoch loop (orbax itself waits
+        for any previous in-flight save before starting a new one). Call
+        wait() (or pass wait=True) before process exit."""
         self.manager.save(step, args=self._ocp.args.StandardSave(state))
+        if wait:
+            self.manager.wait_until_finished()
+
+    def wait(self) -> None:
         self.manager.wait_until_finished()
 
     def restore(self, state_template, step: Optional[int] = None):

@@ -65,6 +65,11 @@ class TrainConfig:
     # zeros/select temp per param) or "zero_grads" (lighter: non-finite
     # grads are zeroed, optimizer still steps with zero gradient).
     nan_guard: str = "apply_if_finite"
+    # Orbax train-state (exact resume) save cadence in EPOCHS. The final
+    # epoch is always saved. The state is ~3.2GiB for the 860M UNet; on
+    # slow disks an every-epoch cadence dominated wall-clock (measured:
+    # 12.5min/save vs 2-6min compute epochs). 0 = final epoch only.
+    state_save_epochs: int = 5
 
 
 class TrainState(train_state.TrainState):

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import csv
 import dataclasses
+import json
 import logging
 import os
 import time
@@ -256,15 +257,31 @@ def train_task(
     )
 
     train_ckpt = ckpt.TrainCheckpointer(os.path.join(output_dir, "train_state"))
+    start_epoch = 0
     if resume:
         restored = train_ckpt.restore(state)
         if restored is not None:
             state = restored
-            logger.info("resumed training state at step %d", int(state.step))
+            # Continue the epoch schedule where the state left off
+            # (state.step counts per-batch steps, one per loader batch);
+            # a resumed 10-epoch run trains only the remaining epochs and
+            # keeps CSV epoch numbering monotonic.
+            start_epoch = min(int(state.step) // max(1, steps_per_epoch), cfg.num_epochs)
+            logger.info(
+                "resumed training state at step %d (epoch %d/%d)",
+                int(state.step), start_epoch, cfg.num_epochs,
+            )
 
     csv_path = os.path.join(output_dir, f"metrics_{spec.name}.csv")
     columns = _csv_columns(spec)
     best_psnr = float("-inf")
+    if resume:
+        # keep best-checkpoint selection monotonic across restarts
+        meta_path = os.path.join(output_dir, "best", "model_index.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                best_psnr = float(json.load(f).get("val_psnr", float("-inf")))
+            logger.info("resumed best val psnr %.3f", best_psnr)
     global_step = int(state.step)
     val_metrics: Dict[str, float] = {}
     sampler_cache: dict = {}
@@ -275,7 +292,8 @@ def train_task(
     # drain every _LOSS_FETCH_EVERY steps so the remote queue never grows
     # unbounded (CLAUDE.md: never flood the relay with unawaited work).
     _LOSS_FETCH_EVERY = 50
-    for epoch in range(cfg.num_epochs):
+    _FROZEN_COMPS = ("vae", "text_encoder", "text_encoder_2")
+    for epoch in range(start_epoch, cfg.num_epochs):
         epoch_t0 = time.time()
         losses: List[float] = []
         pending = []
@@ -318,9 +336,11 @@ def train_task(
         if vres.psnr > best_psnr:
             best_psnr = vres.psnr
             if _is_main():
+                # frozen components are written on the first best-save only
                 ckpt.save_pipeline(
                     os.path.join(output_dir, "best"), current, spec.model_config,
                     extra_meta={"val_psnr": best_psnr, "epoch": epoch + 1},
+                    skip_existing=_FROZEN_COMPS,
                 )
                 logger.info("new best (psnr %.3f) -> %s/best", best_psnr, output_dir)
 
@@ -329,13 +349,21 @@ def train_task(
                 os.path.join(output_dir, f"checkpoint-epoch-{epoch+1}"),
                 {"unet": state.params}, spec.model_config,
             )
-        # orbax coordinates multi-host itself: every process participates
-        train_ckpt.save(global_step, state)
+        # orbax coordinates multi-host itself: every process participates.
+        # Cadence: every state_save_epochs epochs + always the final epoch
+        # (async — the background commit overlaps the next epoch's compute).
+        is_last = epoch + 1 == cfg.num_epochs
+        if is_last or (
+            cfg.state_save_epochs > 0
+            and (epoch + 1 - start_epoch) % cfg.state_save_epochs == 0
+        ):
+            train_ckpt.save(global_step, state, wait=is_last)
 
     if _is_main():
         ckpt.save_pipeline(
             os.path.join(output_dir, "final"), {**params, "unet": state.params},
             spec.model_config,
         )
+    train_ckpt.wait()
     logger.info("training done in %.1fs; best val psnr %.3f", time.time() - t_start, best_psnr)
     return val_metrics

@@ -38,6 +38,10 @@ def build_parser(task: str, default_output: str) -> argparse.ArgumentParser:
                         "(fits single 16GB chips at 256px batch 8)")
     p.add_argument("--nan_guard", default="apply_if_finite",
                    choices=["apply_if_finite", "zero_grads"])
+    p.add_argument("--state_save_epochs", type=int, default=5,
+                   help="Orbax train-state (exact resume) save cadence in "
+                        "epochs; the final epoch is always saved. 0 = final "
+                        "only. The state is ~3.2GiB for the 860M UNet.")
     p.add_argument("--base_model", default="sd15",
                    choices=["sd15", "sdxl", "tiny_sd", "tiny_sdxl"],
                    help="Model stack to fine-tune (reference --base_model, "
@@ -74,6 +78,7 @@ def run(task: str, default_output: str) -> None:
         save_steps=args.save_steps,
         optimizer=args.optimizer,
         nan_guard=args.nan_guard,
+        state_save_epochs=args.state_save_epochs,
     )
     metrics = train_task(
         task,

@@ -66,6 +66,35 @@ def test_train_task_tiny_end_to_end(pair_root, tmp_path):
     assert tc.latest_step() == 4  # 2 epochs x 2 steps
 
 
+def test_resume_continues_epoch_schedule(pair_root, tmp_path):
+    """--resume must continue where the state left off: train only the
+    REMAINING epochs (epoch offset derived from state.step), keep CSV epoch
+    numbering monotonic, and keep best-checkpoint selection monotonic by
+    restoring best val PSNR from best/model_index.json."""
+    out_dir = str(tmp_path / "out_resume")
+    base = dict(batch_size=2, gradient_accumulation_steps=1, lambda_img=0.0,
+                image_size=64, save_steps=-1, state_save_epochs=1)
+    train_task(
+        "denoise", data_root=pair_root, output_dir=out_dir,
+        cfg=TrainConfig(num_epochs=1, **base),
+        use_mesh=False, dtype=jnp.float32, model_config=C.TINY_SD,
+    )
+    # pretend the 3-epoch run was interrupted after epoch 1: resume to 3
+    train_task(
+        "denoise", data_root=pair_root, output_dir=out_dir,
+        cfg=TrainConfig(num_epochs=3, **base),
+        use_mesh=False, dtype=jnp.float32, model_config=C.TINY_SD,
+        resume=True,
+    )
+    with open(os.path.join(out_dir, "metrics_denoise.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert [r["epoch"] for r in rows] == ["1", "2", "3"], rows
+    from image_restoration_and_enhancement_tpu.core.checkpoint import TrainCheckpointer
+
+    tc = TrainCheckpointer(os.path.join(out_dir, "train_state"))
+    assert tc.latest_step() == 6  # 3 epochs x 2 steps total, not 1+3 epochs
+
+
 def test_train_cli_base_model_sdxl(pair_root, tmp_path):
     """Reference exposes --base_model on the trainer CLI
     (train_denoising.py:950,:531-594); ours must reach the SDXL stack
@@ -133,7 +162,7 @@ def test_non_main_process_writes_nothing(pair_root, tmp_path, monkeypatch):
     monkeypatch.setattr(jax, "process_index", lambda: 1)
     orbax_calls = []
     monkeypatch.setattr(_ck.TrainCheckpointer, "save",
-                        lambda self, step, state: orbax_calls.append(step))
+                        lambda self, step, state, wait=False: orbax_calls.append(step))
     out_dir = str(tmp_path / "out_worker")
     cfg = TrainConfig(
         num_epochs=1, batch_size=2, gradient_accumulation_steps=1,

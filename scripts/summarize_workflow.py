@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Summarize a reference-workflow run (metrics CSVs + evaluation JSON) as a
+markdown table.
+
+Reads the artifact layout the workflow runner collects
+(docs/artifacts/realrun_full by default, or outputs/models directly) and
+prints per-task: epochs completed, best val PSNR/SSIM (+epoch), final train
+loss, epoch wall-clock stats from the training logs, and test-split metrics
+from outputs/evaluation_results.json when present. Reference comparison
+columns come from BASELINE.md (A100 fp16, same recipe).
+"""
+import argparse
+import csv
+import json
+import os
+import re
+import sys
+
+TASKS = {
+    "denoise": ("denoising", "metrics_denoise.csv", "training_denoise.log"),
+    "sr_x4": ("super_resolution", "metrics_sr_x4.csv", "training_sr_x4.log"),
+    "colorize": ("colorization", "metrics_colorize.csv", "training_colorize.log"),
+    "inpaint": ("inpainting", "metrics_inpaint.csv", "training_inpaint.log"),
+}
+
+# reference published val numbers + epoch wall-clock (BASELINE.md)
+REF = {
+    "denoise": (13.76, 0.1786, "14m53s"),
+    "sr_x4": (9.73, 0.0955, "20m30s"),
+    "colorize": (8.24, 0.0668, "23m07s"),
+    "inpaint": (9.75, 0.0802, "28m00s"),
+}
+
+EPOCH_RE = re.compile(
+    r"epoch (\d+)/(\d+) loss ([\d.]+) val .*?\(([\d.]+)s\)"
+)
+
+
+def find_file(name, roots):
+    for r in roots:
+        p = os.path.join(r, name)
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def summarize(art_root: str, models_root: str, eval_json: str) -> str:
+    lines = [
+        "| task | epochs | best val PSNR/SSIM (epoch) | final loss | "
+        "warm epoch (s) | ref best PSNR/SSIM | ref epoch |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for task, (model_dir, csv_name, log_name) in TASKS.items():
+        roots = [art_root, os.path.join(models_root, model_dir)]
+        cpath = find_file(csv_name, roots)
+        if cpath is None:
+            lines.append(f"| {task} | — | (no artifacts) | | | | |")
+            continue
+        with open(cpath) as f:
+            rows = list(csv.DictReader(f))
+        if not rows:
+            continue
+        best = max(rows, key=lambda r: float(r["psnr"]))
+        n_epochs = rows[-1]["epoch"]
+        final_loss = float(rows[-1]["train_loss"])
+        # warm epoch time = median of per-epoch durations after the first
+        epoch_secs = []
+        lpath = find_file(log_name, roots)
+        if lpath:
+            with open(lpath, errors="replace") as f:
+                for line in f:
+                    m = EPOCH_RE.search(line)
+                    if m:
+                        epoch_secs.append(float(m.group(4)))
+        warm = ""
+        if len(epoch_secs) > 1:
+            tail = sorted(epoch_secs[1:])
+            warm = f"{tail[len(tail) // 2]:.0f}"
+        ref_p, ref_s, ref_t = REF[task]
+        lines.append(
+            f"| {task} | {n_epochs} | {float(best['psnr']):.2f} / "
+            f"{float(best['ssim']):.4f} (ep {best['epoch']}) | "
+            f"{final_loss:.4f} | {warm} | {ref_p:.2f} / {ref_s:.4f} | {ref_t} |"
+        )
+    ep = find_file(os.path.basename(eval_json), [os.path.dirname(eval_json) or "."])
+    if ep:
+        with open(ep) as f:
+            ev = json.load(f)
+        lines.append("")
+        lines.append("Test-split evaluation (evaluate_model.py):")
+        lines.append("```json")
+        lines.append(json.dumps(ev, indent=2)[:2000])
+        lines.append("```")
+    return "\n".join(lines)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--artifacts", default="docs/artifacts/realrun_full")
+    p.add_argument("--models_root", default="outputs/models")
+    p.add_argument("--eval_json", default="outputs/evaluation_results.json")
+    args = p.parse_args()
+    print(summarize(args.artifacts, args.models_root, args.eval_json))
+
+
+if __name__ == "__main__":
+    main()

@@ -20,21 +20,23 @@ run_cfg() {
     2>"/tmp/flag_${label}.err" | tail -1 >> "$OUT"
 }
 
-run_cfg vmem32m  "--xla_tpu_scoped_vmem_limit_kib=32768"
-run_cfg vmem64m  "--xla_tpu_scoped_vmem_limit_kib=65536"
-run_cfg fastq    "--xla_tpu_experimental_allow_fast_quantization_conversions=true"
-run_cfg convdc   "--xla_tpu_allow_conv_input_fusion_with_downcast_convert=true"
-run_cfg autotune "--xla_tpu_autotune_dots=true --xla_tpu_autotune_fusions=true"
-run_cfg aggrfuse "--xla_tpu_enable_aggressive_loop_fusion_layout_opt=true"
-run_cfg fcost    "--xla_tpu_enable_experimental_fusion_cost_model=true"
+# Ordered by expected value (time may cut the tail short).
 
-# s8-QK attention beat bf16 STANDALONE at N=4096 (7.94 vs 8.67ms) but lost
-# 58% in-program: the quantize converts break XLA's streaming-softmax
+# 1) s8-QK attention beat bf16 STANDALONE at N=4096 (7.94 vs 8.67ms) but
+# lost 58% in-program: the quantize converts break XLA's streaming-softmax
 # pattern-match. If fast quantization conversions restore the fusion, the
 # combination is the projected ~+0.4 img/s the stage-1 A/B went after.
 echo "--- flags fastq+attn_x8" >> "$OUT"
 XLA_FLAGS="--xla_tpu_experimental_allow_fast_quantization_conversions=true" \
   IRET_ATTN_XLA_INT8_MIN=4096 timeout 2400 python bench.py \
   2>/tmp/flag_fastq_attn.err | tail -1 >> "$OUT"
+
+run_cfg fastq    "--xla_tpu_experimental_allow_fast_quantization_conversions=true"
+run_cfg convdc   "--xla_tpu_allow_conv_input_fusion_with_downcast_convert=true"
+run_cfg vmem32m  "--xla_tpu_scoped_vmem_limit_kib=32768"
+run_cfg autotune "--xla_tpu_autotune_dots=true --xla_tpu_autotune_fusions=true"
+run_cfg vmem64m  "--xla_tpu_scoped_vmem_limit_kib=65536"
+run_cfg aggrfuse "--xla_tpu_enable_aggressive_loop_fusion_layout_opt=true"
+run_cfg fcost    "--xla_tpu_enable_experimental_fusion_cost_model=true"
 
 echo "=== xla flag sweep done $(date) ===" >> "$OUT"

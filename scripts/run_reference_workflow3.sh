@@ -26,6 +26,14 @@ run_train() {
 
 echo "=== reference workflow v3 start $(date) ===" >> "$LOG"
 
+# Self-heal after a VM reset: regenerate the procedural data if missing.
+if [ ! -d data/pairs/denoise/train ]; then
+  echo "--- regenerating data (VM reset wiped data/) $(date)" >> "$LOG"
+  python scripts/make_procedural_clean.py --out_root data/clean >> "$LOG" 2>&1
+  python scripts/make_synthetic_pairs.py --clean_root data/clean \
+    --out_root data/pairs >> "$LOG" 2>&1
+fi
+
 run_train train_denoising.py denoise
 run_train train_super_resolution.py sr_x4
 run_train train_colorization.py colorize

@@ -92,6 +92,19 @@ def main():
         guidance_scale=5.0, sampler="ddim", cfg_cache_interval=cfg_cache,
     )
 
+    # BENCH_XLA_OPTS="k=v,k=v": per-compile XLA/TPU backend options for the
+    # serving program. The axon relay's LOCAL XLA_FLAGS parser fatals on
+    # TPU-backend flags (parse_flags_from_env checks against the client
+    # binary, which doesn't link libtpu); compiler_options on an AOT
+    # .lower().compile() ARE forwarded to the remote compiler and validated
+    # there (probe-verified: bogus names are rejected remotely). This is the
+    # only working mechanism for TPU compiler flags through the relay.
+    xla_opts = os.environ.get("BENCH_XLA_OPTS", "")
+    if xla_opts:
+        opts = dict(kv.split("=", 1) for kv in xla_opts.split(",") if kv)
+        fn = fn.lower(params, image, ctx, ctx, key).compile(
+            compiler_options=opts)
+
     # Warmup/compile, then force real execution with a host fetch: through
     # remote-relay TPU backends, block_until_ready alone does not guarantee
     # the queue has drained — only a device_get does.

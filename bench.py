@@ -99,9 +99,20 @@ def main():
     # .lower().compile() ARE forwarded to the remote compiler and validated
     # there (probe-verified: bogus names are rejected remotely). This is the
     # only working mechanism for TPU compiler flags through the relay.
+    # Format: comma-separated k=v pairs. Comma-VALUED options are not
+    # supported (the split is on ','); entries without '=' are an error.
     xla_opts = os.environ.get("BENCH_XLA_OPTS", "")
     if xla_opts:
-        opts = dict(kv.split("=", 1) for kv in xla_opts.split(",") if kv)
+        opts = {}
+        for kv in xla_opts.split(","):
+            if not kv:
+                continue
+            if "=" not in kv:
+                raise SystemExit(
+                    f"BENCH_XLA_OPTS entry {kv!r} is not k=v (comma-separated "
+                    "k=v pairs; comma-valued options unsupported)")
+            k, v = kv.split("=", 1)
+            opts[k] = v
         fn = fn.lower(params, image, ctx, ctx, key).compile(
             compiler_options=opts)
 

@@ -45,4 +45,21 @@ if _os.environ.get("IRET_PLATFORM"):
         _jax.config.update("jax_platforms", _os.environ["IRET_PLATFORM"])
     except Exception:  # noqa: BLE001 — backend already initialized
         pass
+
+# Persistent compilation cache, on by default: each big-program compile
+# goes through a remote compile service (~5-15 min); identically-shaped
+# programs across the four task trainers (same UNet step / val sampler)
+# must hit the disk cache, not recompile. Opt out with
+# IRET_NO_COMPILE_CACHE=1; override location with JAX_COMPILATION_CACHE_DIR.
+if not _os.environ.get("IRET_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    try:
+        if _jax.config.jax_compilation_cache_dir is None:
+            _jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+            )
+    except Exception:  # noqa: BLE001 — older jax without the option
+        pass
 del _os

@@ -227,3 +227,49 @@ TINY_SDXL = SDModelConfig(
     # context dim = 8 (L tower penultimate) + 8 (bigG penultimate) = 16
     text_encoder=TINY_SDXL_TEXT2, text_encoder_2=TINY_SDXL_TEXT2,
 )
+
+# Named presets for CLI/config surfaces (e.g. RestorationPipeline's
+# per-task "model_config" key, scripts/_train_cli.py --base_model).
+PRESETS = {
+    "sd15": SD15,
+    "sd15_inpaint": SD15_INPAINT,
+    "sdxl": SDXL,
+    "tiny_sd": TINY_SD,
+    "tiny_sd_inpaint": TINY_SD_INPAINT,
+    "tiny_sdxl": TINY_SDXL,
+}
+
+
+def _dataclass_from_dict(cls, d):
+    """Rebuild a (frozen) config dataclass from its asdict() form; lists
+    come back from JSON where tuples were, so coerce."""
+    if d is None:
+        return None
+    if isinstance(d, cls):
+        return d
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name in d:
+            v = d[f.name]
+            if isinstance(v, list):
+                v = tuple(v)
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def model_config_from_dict(d: dict) -> SDModelConfig:
+    """Rebuild an SDModelConfig from `dataclasses.asdict(cfg)` (as stored in
+    a pipeline checkpoint's model_index.json) — makes checkpoints
+    self-describing so RestorationPipeline can serve e.g. an SDXL fine-tune
+    without per-task config."""
+    return SDModelConfig(
+        unet=_dataclass_from_dict(UNetConfig, d.get("unet")) or SD15_UNET,
+        vae=_dataclass_from_dict(VAEConfig, d.get("vae")) or SD15_VAE,
+        text_encoder=_dataclass_from_dict(CLIPTextConfig, d.get("text_encoder"))
+        or CLIP_VIT_L_TEXT,
+        scheduler=_dataclass_from_dict(SchedulerConfig, d.get("scheduler"))
+        or SD15_SCHEDULER,
+        text_encoder_2=_dataclass_from_dict(
+            CLIPTextConfig, d.get("text_encoder_2")
+        ),
+    )

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import logging
 import os
 import re
 from typing import Any, Dict, Optional, Tuple
@@ -36,6 +37,8 @@ try:
     from safetensors import numpy as st_numpy
 except ImportError:  # pragma: no cover
     st_numpy = None
+
+logger = logging.getLogger(__name__)
 
 
 # ---------------------------------------------------------------------------
@@ -131,6 +134,27 @@ def load_pipeline(directory: str) -> Dict[str, Any]:
     if not params:
         raise FileNotFoundError(f"No component checkpoints under {directory}")
     return params
+
+
+def load_pipeline_model_config(directory: str):
+    """Read the SDModelConfig a pipeline checkpoint was saved with (from
+    model_index.json's `config` entry), or None when absent/unparseable.
+    Lets the serving layer auto-detect e.g. an SDXL fine-tune."""
+    path = os.path.join(directory, "model_index.json")
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            meta = json.load(f)
+        cfg = meta.get("config")
+        if not isinstance(cfg, dict):
+            return None
+        from ..config import model_config_from_dict
+
+        return model_config_from_dict(cfg)
+    except Exception:  # noqa: BLE001 — a malformed meta must not break loads
+        logger.exception("Unparseable model config in %s", path)
+        return None
 
 
 def pipeline_exists(directory: str) -> bool:

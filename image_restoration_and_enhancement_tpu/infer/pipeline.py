@@ -153,6 +153,12 @@ class RestorationPipeline:
                 ),
                 "pretrained_dir": None,
                 "default_backend": "auto",  # auto | diffusion | classical
+                # Model stack override: None = auto-detect from the
+                # checkpoint's model_index.json (falling back to the task
+                # default), or a preset name ("sdxl", "sd15", ...) /
+                # SDModelConfig instance. Lets the pipeline serve e.g. an
+                # SDXL fine-tune produced by --base_model sdxl.
+                "model_config": None,
             }
             if config:
                 task_cfg.update(config.get(name, {}) or config.get(spec.name, {}))
@@ -161,6 +167,7 @@ class RestorationPipeline:
         self._stacks: Dict[str, Dict[str, Any]] = {}  # task -> loaded stack
         self._fn_cache: Dict[tuple, Any] = {}
         self._ctx_cache: Dict[tuple, jnp.ndarray] = {}
+        self._warned_misses: set = set()
 
     # ------------------------------------------------------------------
     # model loading
@@ -227,6 +234,27 @@ class RestorationPipeline:
                 "pass a checkpoint)."
             )
 
+        # Resolve the model stack: explicit per-task "model_config" wins,
+        # else the checkpoint is self-describing (model_index.json), else
+        # the task default (SD1.5 / SD1.5-inpaint).
+        mc = cfg.get("model_config")
+        if isinstance(mc, str):
+            from .. import config as C
+
+            mc = C.PRESETS[mc]
+        if mc is None and src_dir:
+            mc = ckpt.load_pipeline_model_config(src_dir)
+            if mc is not None and mc != spec.model_config:
+                logger.info(
+                    "%s checkpoint carries a non-default model config "
+                    "(text_encoder_2=%s); serving with it", task_name,
+                    mc.text_encoder_2 is not None,
+                )
+        if mc is not None:
+            import dataclasses as _dc
+
+            spec = _dc.replace(spec, model_config=mc)
+
         modules = sampling.SDModules.create(
             spec.model_config, dtype=self.dtype, attention_backend=self.attention_backend
         )
@@ -270,13 +298,18 @@ class RestorationPipeline:
                 logger.exception("Failed loading pretrained stack at %s", cand)
         return None
 
-    def _context(self, stack, prompt: str) -> jnp.ndarray:
+    def _context(self, stack, prompt: str):
+        """Text conditioning, cached per (task, prompt). SDXL stacks return
+        the (context, pooled) tuple make_img2img_fn expects."""
         key = (stack["spec"].name, prompt)
         if key not in self._ctx_cache:
             ids = jnp.asarray(stack["tokenizer"]([prompt]))
-            self._ctx_cache[key] = sampling.encode_text(
-                stack["modules"], stack["params"], ids
+            encode = (
+                sampling.encode_text_sdxl
+                if stack["modules"].is_sdxl
+                else sampling.encode_text
             )
+            self._ctx_cache[key] = encode(stack["modules"], stack["params"], ids)
         return self._ctx_cache[key]
 
     def _sampler_fn(self, stack, kind: str, steps: int, strength: float, gs: float,
@@ -346,11 +379,36 @@ class RestorationPipeline:
             out = fn(stack["params"], x, jnp.asarray(m), ctx, uncond, rng)
         else:
             out = fn(stack["params"], x, ctx, uncond, rng)
+        self._check_static_misses()
         out = np.asarray(out[0])
         out_u8 = ((out + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
         if (bh, bw) != (h, w):
             out_u8 = np.asarray(Image.fromarray(out_u8).resize((w, h), Image.LANCZOS))
         return out_u8
+
+    def _check_static_misses(self) -> None:
+        """Calibration/serving drift detector: under int8_static, any
+        quantized site missing from the loaded calibration table silently
+        falls back to dynamic quantization — correct but off the calibrated
+        path. Warn loudly (once per site); IRET_QUANT_STRICT=1 raises."""
+        from ..ops import quant as quant_ops
+
+        if quant_ops.current_mode() != "int8_static":
+            return
+        new = quant_ops.static_misses() - self._warned_misses
+        if not new:
+            return
+        self._warned_misses |= new
+        msg = (
+            f"int8_static: {len(new)} quantized site(s) missing from the "
+            f"calibration table fell back to dynamic quantization (stale or "
+            f"mismatched calib JSON?), e.g. {sorted(new)[:3]}"
+        )
+        import os as _os
+
+        if _os.environ.get("IRET_QUANT_STRICT"):
+            raise RuntimeError(msg)
+        logger.warning(msg)
 
     # ------------------------------------------------------------------
     # per-task methods (reference API)

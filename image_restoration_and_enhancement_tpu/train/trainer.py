@@ -109,11 +109,15 @@ def run_validation(
     uncond_context: Optional[jnp.ndarray],
     epoch: int,
     output_dir: str,
-    max_batches: int = 8,
+    max_batches: Optional[int] = None,
     seed: int = 42,
     sampler_fn_cache: Optional[dict] = None,
 ) -> ValidationResult:
-    """Sample the pipeline on val pairs and compute task metrics."""
+    """Sample the pipeline on val pairs and compute task metrics.
+
+    max_batches=None validates the FULL val loader — `--max_val_samples`
+    on the CLI is the only limiter, matching the reference's semantics
+    (train_denoising.py:446-499 iterates the whole val set)."""
     vs = spec.val_sampler or spec.sampler
     cache = sampler_fn_cache if sampler_fn_cache is not None else {}
     key = ("val", vs.num_inference_steps, vs.strength, vs.guidance_scale, vs.sampler)
@@ -127,6 +131,7 @@ def run_validation(
     fn = cache[key]
 
     acc: Dict[str, List[float]] = {}
+    input_psnrs: List[float] = []  # degraded-input-vs-gt baseline (epoch 1)
     # per-sigma buckets when the val set carries `_sigma` filename suffixes
     # (reference: train_denoising.py:446-455, :482-499)
     sigmas = getattr(val_loader.ds, "sigmas", [])
@@ -134,38 +139,61 @@ def run_validation(
     strip_saved = False
     sample_idx = 0
     for bi, batch in enumerate(val_loader.epoch(0)):
-        if bi >= max_batches:
+        if max_batches is not None and bi >= max_batches:
             break
         rng = jax.random.fold_in(jax.random.PRNGKey(seed), bi)
+        # Pad a ragged final batch up to the loader's batch size so the
+        # jitted sampler sees exactly ONE shape (each new shape is a fresh
+        # multi-minute remote compile on this TPU relay); padded outputs
+        # are dropped before metrics.
+        n_valid = batch["input"].shape[0]
+        bs = val_loader.batch_size
+        if n_valid < bs:
+            batch = {
+                k: np.concatenate(
+                    [v, np.repeat(v[-1:], bs - n_valid, axis=0)], axis=0
+                )
+                for k, v in batch.items()
+            }
         x = jnp.asarray(batch["input"])
         if spec.uses_mask:
             out = fn(params, x, jnp.asarray(batch["mask"]), context,
                      uncond_context, rng)
         else:
             out = fn(params, x, context, uncond_context, rng)
-        out01 = (np.asarray(out) + 1.0) / 2.0
-        gt01 = (batch["gt"] + 1.0) / 2.0
+        out01 = (np.asarray(out)[:n_valid] + 1.0) / 2.0
+        gt01 = (batch["gt"][:n_valid] + 1.0) / 2.0
         # dark-output sanity check (reference :409-410)
         if out01.mean() < 0.02:
             logger.warning("validation produced near-black output (epoch %d)", epoch)
         # LPIPS when learned weights are imported (reference validation
         # computes it, train_denoising.py:328-519; column stays empty
         # otherwise — availability-gated like the reference's optional dep)
-        if perceptual.lpips_available():
-            acc.setdefault("lpips", []).extend(
-                perceptual.lpips_pairs(list(out01), list(gt01))
+        if epoch <= 1:
+            # "restores" must be measured, not asserted: record the
+            # do-nothing baseline PSNR(degraded input, gt) once per run so
+            # output PSNR has a reference point in the log.
+            in01 = (batch["input"][:n_valid] + 1.0) / 2.0
+            input_psnrs.extend(
+                float(F.psnr(jnp.asarray(i), jnp.asarray(g)))
+                for i, g in zip(in01, gt01)
             )
-        for p, g in zip(out01, gt01):
+        batch_lpips: List[float] = []
+        if perceptual.lpips_available():
+            batch_lpips = perceptual.lpips_pairs(list(out01), list(gt01))
+        for in_batch_idx, (p, g) in enumerate(zip(out01, gt01)):
             m = F.calculate_all(
                 jnp.asarray(p), jnp.asarray(g),
                 with_color=spec.with_color_metrics, with_y=spec.with_y_metrics,
             )
+            if in_batch_idx < len(batch_lpips):
+                m["lpips"] = batch_lpips[in_batch_idx]
             for name, v in m.items():
                 acc.setdefault(name, []).append(float(v))
             sigma = sigmas[sample_idx] if sample_idx < len(sigmas) else None
             if sigma is not None:
                 bucket = sigma_buckets.setdefault(int(round(sigma)), {})
-                for name in ("psnr", "ssim", "psnr_y", "ssim_y"):
+                for name in ("psnr", "ssim", "psnr_y", "ssim_y", "lpips"):
                     if name in m:
                         bucket.setdefault(name, []).append(float(m[name]))
             sample_idx += 1
@@ -177,6 +205,11 @@ def run_validation(
                 batch["input"][0], np.asarray(out)[0], batch["gt"][0],
             )
             strip_saved = True
+    if input_psnrs:
+        logger.info(
+            "val input-vs-gt baseline psnr %.3f (the do-nothing score output "
+            "psnr is measured against)", float(np.mean(input_psnrs)),
+        )
     if sigma_buckets:
         for sv in sorted(sigma_buckets):
             b = sigma_buckets[sv]
@@ -193,6 +226,7 @@ def train_task(
     output_dir: Optional[str] = None,
     cfg: TrainConfig = TrainConfig(),
     init_from: Optional[str] = None,
+    vae_init: Optional[str] = None,
     max_train_samples: Optional[int] = None,
     max_val_samples: Optional[int] = None,
     use_mesh: bool = True,
@@ -226,10 +260,26 @@ def train_task(
         logger.warning("random-initializing all components (no init_from)")
         params = sampling.init_params(modules, rng, image_size=cfg.image_size)
 
+    if vae_init:
+        # Seed FROZEN components (VAE, text towers) from a separate
+        # pipeline checkpoint — e.g. scripts/pretrain_vae.py output. Without
+        # pretrained SD weights (air-gapped), a reconstruction-pretrained
+        # VAE is what makes the frozen encode/decode path meaningful, so
+        # validation PSNR can actually reflect UNet learning. The UNet is
+        # never taken from here (that's init_from's job).
+        seeded = ckpt.load_pipeline(vae_init)
+        for comp in ("vae", "text_encoder", "text_encoder_2"):
+            if comp in seeded:
+                params[comp] = seeded[comp]
+                logger.info("seeded frozen %s from %s", comp, vae_init)
+
     train_ds = PairDataset(spec.name, data_root, "train", cfg.image_size, max_train_samples)
     val_ds = PairDataset(spec.name, data_root, "val", cfg.image_size, max_val_samples)
     train_loader = BatchLoader(train_ds, cfg.batch_size, seed=cfg.seed)
-    val_loader = BatchLoader(val_ds, min(cfg.batch_size, 2), shuffle=False, drop_last=False)
+    # val batch 8 (when the train batch allows): full-set validation per
+    # epoch is 4x cheaper than the reference-style batch-2 loop; ragged
+    # final batches are padded inside run_validation (single jit shape).
+    val_loader = BatchLoader(val_ds, min(cfg.batch_size, 8), shuffle=False, drop_last=False)
     logger.info("train pairs: %d, val pairs: %d", len(train_ds), len(val_ds))
 
     steps_per_epoch = len(train_loader)

@@ -28,6 +28,11 @@ def build_parser(task: str, default_output: str) -> argparse.ArgumentParser:
     p.add_argument("--init_from", default=None,
                    help="Pipeline checkpoint (ours) or diffusers torch dir to "
                         "initialize weights from")
+    p.add_argument("--vae_init", default=None,
+                   help="Pipeline checkpoint to seed the FROZEN components "
+                        "(VAE / text towers) from — e.g. the output of "
+                        "scripts/pretrain_vae.py. The UNet stays random (or "
+                        "comes from --init_from).")
     p.add_argument("--image_size", type=int, default=256)
     p.add_argument("--max_train_samples", type=int, default=None)
     p.add_argument("--max_val_samples", type=int, default=None)
@@ -86,6 +91,7 @@ def run(task: str, default_output: str) -> None:
         output_dir=args.output_dir,
         cfg=cfg,
         init_from=args.init_from,
+        vae_init=args.vae_init,
         max_train_samples=args.max_train_samples,
         max_val_samples=args.max_val_samples,
         use_mesh=not args.no_mesh,

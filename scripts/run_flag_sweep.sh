@@ -25,7 +25,8 @@ run_cfg() {
   echo "--- flags $label: $opts $extra" >> "$OUT"
   env BENCH_XLA_OPTS="$opts" $extra timeout 2700 python bench.py \
     2>"/tmp/flag_${label}.err" | tail -1 >> "$OUT"
-  echo "--- flags $label exit=$? $(date)" >> "$OUT"
+  # tail's status is always 0; report python/timeout's actual exit
+  echo "--- flags $label exit=${PIPESTATUS[0]} $(date)" >> "$OUT"
 }
 
 # Ordered by expected value (time may cut the tail short).

@@ -34,6 +34,9 @@ REF = {
 EPOCH_RE = re.compile(
     r"epoch (\d+)/(\d+) loss ([\d.]+) val .*?\(([\d.]+)s\)"
 )
+# the do-nothing baseline run_validation logs once per run — output PSNR is
+# only meaningful relative to this (VERDICT r2: "restores" must be measured)
+INPUT_PSNR_RE = re.compile(r"val input-vs-gt baseline psnr ([\d.]+)")
 
 
 def find_file(name, roots):
@@ -45,16 +48,31 @@ def find_file(name, roots):
 
 
 def summarize(art_root: str, models_root: str, eval_json: str) -> str:
-    lines = [
-        "| task | epochs | best val PSNR/SSIM (epoch) | final loss | "
-        "warm epoch (s) | ref best PSNR/SSIM | ref epoch |",
-        "|---|---|---|---|---|---|---|",
+    lines = []
+    vae_csv = find_file("metrics_vae.csv",
+                        [art_root, os.path.join(models_root, "vae_pretrained")])
+    if vae_csv:
+        with open(vae_csv) as f:
+            vrows = list(csv.DictReader(f))
+        if vrows:
+            vbest = max(vrows, key=lambda r: float(r["psnr"]))
+            lines.append(
+                f"VAE pretrain (stage 0): {len(vrows)} epochs, recon PSNR "
+                f"{float(vrows[0]['psnr']):.2f} -> {float(vbest['psnr']):.2f} dB "
+                f"(best ep {vbest['epoch']}), scaled-latent std "
+                f"{float(vrows[-1]['latent_std']):.3f}"
+            )
+            lines.append("")
+    lines += [
+        "| task | epochs | val PSNR ep1 -> best (epoch) | SSIM best | "
+        "input PSNR | final loss | warm epoch (s) | ref best PSNR/SSIM | ref epoch |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for task, (model_dir, csv_name, log_name) in TASKS.items():
         roots = [art_root, os.path.join(models_root, model_dir)]
         cpath = find_file(csv_name, roots)
         if cpath is None:
-            lines.append(f"| {task} | — | (no artifacts) | | | | |")
+            lines.append(f"| {task} | — | (no artifacts) | | | | | | |")
             continue
         with open(cpath) as f:
             rows = list(csv.DictReader(f))
@@ -63,8 +81,10 @@ def summarize(art_root: str, models_root: str, eval_json: str) -> str:
         best = max(rows, key=lambda r: float(r["psnr"]))
         n_epochs = rows[-1]["epoch"]
         final_loss = float(rows[-1]["train_loss"])
-        # warm epoch time = median of per-epoch durations after the first
+        # warm epoch time = median of per-epoch durations after the first;
+        # input-vs-gt baseline PSNR from the run log
         epoch_secs = []
+        input_psnr = ""
         lpath = find_file(log_name, roots)
         if lpath:
             with open(lpath, errors="replace") as f:
@@ -72,14 +92,18 @@ def summarize(art_root: str, models_root: str, eval_json: str) -> str:
                     m = EPOCH_RE.search(line)
                     if m:
                         epoch_secs.append(float(m.group(4)))
+                    m = INPUT_PSNR_RE.search(line)
+                    if m:
+                        input_psnr = f"{float(m.group(1)):.2f}"
         warm = ""
         if len(epoch_secs) > 1:
             tail = sorted(epoch_secs[1:])
             warm = f"{tail[len(tail) // 2]:.0f}"
         ref_p, ref_s, ref_t = REF[task]
         lines.append(
-            f"| {task} | {n_epochs} | {float(best['psnr']):.2f} / "
-            f"{float(best['ssim']):.4f} (ep {best['epoch']}) | "
+            f"| {task} | {n_epochs} | {float(rows[0]['psnr']):.2f} -> "
+            f"{float(best['psnr']):.2f} (ep {best['epoch']}) | "
+            f"{float(best['ssim']):.4f} | {input_psnr} | "
             f"{final_loss:.4f} | {warm} | {ref_p:.2f} / {ref_s:.4f} | {ref_t} |"
         )
     ep = find_file(os.path.basename(eval_json), [os.path.dirname(eval_json) or "."])

@@ -34,6 +34,7 @@ def main():
 
     from image_restoration_and_enhancement_tpu import config as C
     from image_restoration_and_enhancement_tpu.core import sampling
+    from image_restoration_and_enhancement_tpu.ops import token_merge
 
     batch = int(os.environ.get("BENCH_BATCH", "8"))  # best measured batch
     steps = int(os.environ.get("BENCH_STEPS", "20"))
@@ -87,6 +88,13 @@ def main():
     # headline path; quality-gate with scripts/eval_quant_quality.py
     # --cfg_cache before serving with it.
     cfg_cache = int(os.environ.get("BENCH_CFG_CACHE", "1"))
+    # BENCH_TOME=r (default 0 = exact): opt-in approximate token-merge mode —
+    # merge r*N tokens around the N>=4096 self-attention sites
+    # (ops/token_merge.py). NOT the headline path; quality-gate with
+    # scripts/eval_quant_quality.py --tome before serving with it.
+    tome = float(os.environ.get("BENCH_TOME", "0") or 0.0)
+    if tome:
+        token_merge.set_tome(tome)
     fn = sampling.make_img2img_fn(
         modules, num_inference_steps=steps, strength=1.0,
         guidance_scale=5.0, sampler="ddim", cfg_cache_interval=cfg_cache,

@@ -8,13 +8,13 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Callable, Optional
+from typing import Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops import quant
+from ..ops import quant, token_merge
 from ..ops.attention import attention as fused_attention
 from ..ops.groupnorm import group_norm as fused_group_norm
 from ..parallel.spatial import constrain as constrain_spatial
@@ -263,13 +263,32 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, context: jnp.ndarray, cfg_dedup: bool = False
+        self,
+        x: jnp.ndarray,
+        context: jnp.ndarray,
+        cfg_dedup: bool = False,
+        hw: Optional[Tuple[int, int]] = None,
     ) -> jnp.ndarray:
         attn = lambda name: CrossAttention(
             self.heads, self.head_dim, dtype=self.dtype,
             attention_backend=self.attention_backend, name=name,
         )
-        x = x + attn("attn1")(FusedLayerNorm(dtype=self.dtype, name="norm1")(x))
+        # Opt-in ToMe serving approximation (ops/token_merge.py): merge
+        # redundant tokens around self-attention at the big-N sites; the
+        # policy is trace-time (like the quant mode) so training and the
+        # default serving path are untouched.
+        tome_ratio = token_merge.current_ratio()
+        n1 = FusedLayerNorm(dtype=self.dtype, name="norm1")(x)
+        if (
+            tome_ratio > 0.0
+            and hw is not None
+            and x.shape[1] >= token_merge.min_tokens()
+        ):
+            r = token_merge.merge_count(hw[0], hw[1], tome_ratio)
+            m, u, _ = token_merge.build_merge(x, hw[0], hw[1], r)
+            x = x + u(attn("attn1")(m(n1)))
+        else:
+            x = x + attn("attn1")(n1)
         if cfg_dedup:
             x = jnp.concatenate([x, x], axis=0)
         x = x + attn("attn2")(FusedLayerNorm(dtype=self.dtype, name="norm2")(x), context)
@@ -315,7 +334,7 @@ class Transformer2D(nn.Module):
                 self.heads, self.head_dim, dtype=self.dtype,
                 attention_backend=self.attention_backend,
                 name=f"transformer_blocks_{i}",
-            )(x, context, cfg_dedup=(cfg_dedup and i == 0))
+            )(x, context, cfg_dedup=(cfg_dedup and i == 0), hw=(h, w))
         out_b = 2 * b if cfg_dedup else b
         if self.use_linear_projection:
             x = QDense(c, dtype=self.dtype, name="proj_out")(x)

@@ -32,7 +32,7 @@ from image_restoration_and_enhancement_tpu.core import checkpoint as ckpt
 from image_restoration_and_enhancement_tpu.core import sampling
 from image_restoration_and_enhancement_tpu.metrics import functional as F
 from image_restoration_and_enhancement_tpu.models.tokenizer import load_tokenizer
-from image_restoration_and_enhancement_tpu.ops import quant
+from image_restoration_and_enhancement_tpu.ops import quant, token_merge
 from image_restoration_and_enhancement_tpu.tasks.registry import get_task
 
 
@@ -48,7 +48,7 @@ def load_batch(pairs_dir: str, n: int, size: int):
 
 
 def run(modules, params, ctx, un, x, steps, strength, gs, sampler, mode,
-        cfg_cache=1, attn_int8_min=0):
+        cfg_cache=1, attn_int8_min=0, tome=0.0):
     # attention-quantization knob is trace-time (ops/attention.py dispatch):
     # set it only around the quantized runs so the bf16 reference stays exact
     if attn_int8_min:
@@ -62,7 +62,7 @@ def run(modules, params, ctx, un, x, steps, strength, gs, sampler, mode,
                                                sampler=sampler)
         _, stats = calib(params, x, ctx, un, jax.random.PRNGKey(42))
         quant.load_static_table({k: float(v) for k, v in stats.items()})
-    with quant.quant_mode(mode):
+    with quant.quant_mode(mode), token_merge.tome_mode(tome or None):
         fn = sampling.make_img2img_fn(modules, steps, strength, gs, sampler,
                                       cfg_cache_interval=cfg_cache)
         out = fn(params, x, ctx, un, jax.random.PRNGKey(42))
@@ -89,6 +89,10 @@ def main():
     p.add_argument("--cfg_cache", type=int, default=1,
                    help="also gate the approximate turbo mode: int8_static "
                         "with cfg_cache_interval=K (core/sampling.py)")
+    p.add_argument("--tome", type=float, default=0.0,
+                   help="also gate the approximate token-merge mode: "
+                        "int8_static with this merge ratio at the N>=4096 "
+                        "self-attention sites (ops/token_merge.py)")
     p.add_argument("--attn_int8_min", type=int, default=0,
                    help="gate the quantized-attention path: route "
                         "self-attention with N >= this through s8 QK/PV "
@@ -135,6 +139,18 @@ def main():
         print(f"{lbl:11s} vs gt   : psnr {p_t:7.3f}  ssim {s_t:.4f}")
         print(f"{lbl:11s} vs bf16 : psnr {p_x:7.3f}  ssim {s_x:.4f}")
         print(f"gt-psnr delta (bf16 - {lbl}): {p_b - p_t:+.4f} dB")
+    if args.tome > 0.0:
+        out_m = run(modules, params, ctx, un, x, s.num_inference_steps,
+                    s.strength, s.guidance_scale, s.sampler,
+                    mode="int8_static", tome=args.tome,
+                    attn_int8_min=args.attn_int8_min)
+        m01 = (out_m + 1) / 2
+        p_m, s_m = metrics_vs(m01, g01)
+        p_x, s_x = metrics_vs(m01, b01)
+        lbl = f"tome({args.tome:g})"
+        print(f"{lbl:11s} vs gt   : psnr {p_m:7.3f}  ssim {s_m:.4f}")
+        print(f"{lbl:11s} vs bf16 : psnr {p_x:7.3f}  ssim {s_x:.4f}")
+        print(f"gt-psnr delta (bf16 - {lbl}): {p_b - p_m:+.4f} dB")
 
 
 if __name__ == "__main__":

@@ -233,11 +233,15 @@ def train_task(
     dtype=jnp.bfloat16,
     resume: bool = False,
     model_config=None,
+    task_spec=None,
 ) -> Dict[str, float]:
     """Fine-tune one task end to end. Returns the last validation metrics.
 
-    model_config: optional SDModelConfig override (tiny configs in tests)."""
-    spec = get_task(task_name)
+    model_config: optional SDModelConfig override (tiny configs in tests).
+    task_spec: optional full TaskSpec override (demo/experiment variants,
+    e.g. scripts/demo_restoration_learning.py's heavy-noise denoise);
+    task_name is still used for registry lookup when task_spec is None."""
+    spec = task_spec if task_spec is not None else get_task(task_name)
     if model_config is not None:
         spec = dataclasses.replace(spec, model_config=model_config)
     output_dir = output_dir or os.path.join("outputs", "models", spec.model_dir)

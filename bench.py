@@ -27,6 +27,7 @@ A100_REFERENCE_IMG_PER_S = 0.55
 def main():
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     # persistent compile cache: the 512px scanned loop is expensive to build
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -64,7 +65,20 @@ def main():
     # bandwidth-bound UNet).
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
 
-    image = jnp.zeros((batch, size, size, 3), jnp.float32)
+    # Structured deterministic inputs (not zeros): the static-int8
+    # calibration below derives activation scales from THIS batch, and a
+    # zero image under-excites every conv/dense site (VERDICT r2 weak #3 —
+    # calibration/serving drift). Content does not affect the timing; it
+    # does make the calibrated program the one a real image would get.
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    chans = np.stack([
+        np.sin(2 * np.pi * (1.3 * xx + 0.7 * yy)),
+        np.cos(2 * np.pi * (0.5 * xx + 1.9 * yy)),
+        np.sin(2 * np.pi * (2.1 * xx * yy + 0.25)),
+    ], axis=-1)
+    image = jnp.asarray(
+        np.broadcast_to(chans * 0.9, (batch, size, size, 3)), jnp.float32
+    )
     ctx = sampling.encode_text(
         modules, params, jnp.zeros((batch, 77), jnp.int32)
     )

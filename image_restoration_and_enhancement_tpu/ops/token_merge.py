@@ -121,9 +121,19 @@ def build_merge(
         ident = lambda x: x
         return ident, ident, n
 
+    # TPU shape note: everything below avoids batched SCATTERS (slow,
+    # HBM-serialized on TPU). The destination accumulate is a one-hot
+    # matmul (MXU), and unmerge is ONE inverse-permutation gather; the
+    # only scatters left are on tiny int32 [B, Ns] index maps. The
+    # similarity einsum runs in the input dtype (bf16 in serving) with
+    # fp32 accumulation — ranking needs no more.
     mn = metric.astype(jnp.float32)
     mn = mn / (jnp.linalg.norm(mn, axis=-1, keepdims=True) + 1e-6)
-    scores = jnp.einsum("bsc,bdc->bsd", mn[:, src_idx], mn[:, dst_idx])
+    mn = mn.astype(metric.dtype)
+    scores = jnp.einsum(
+        "bsc,bdc->bsd", mn[:, src_idx], mn[:, dst_idx],
+        preferred_element_type=jnp.float32,
+    )
     node_max = jnp.max(scores, axis=-1)                       # [B, Ns]
     node_dst = jnp.argmax(scores, axis=-1).astype(jnp.int32)  # [B, Ns]
     order = jnp.argsort(-node_max, axis=-1).astype(jnp.int32)
@@ -131,30 +141,39 @@ def build_merge(
     unm_pos = order[:, r:]          # [B, Ns-r]
     dst_of_merged = jnp.take_along_axis(node_dst, merged_pos, axis=1)  # [B, r]
 
-    src_abs = jnp.asarray(src_idx)
     bidx = jnp.arange(b)[:, None]
+    # row index into the merged output for every ORIGINAL token: dst token
+    # k -> row k; unmerged source i -> row nd+i; merged source -> its
+    # destination's row. Built with two tiny int32 scatters + a static
+    # permutation, consumed by one big gather in unmerge().
+    src_rows = jnp.zeros((b, ns), jnp.int32)
+    src_rows = src_rows.at[bidx, unm_pos].set(
+        nd + jnp.arange(ns - r, dtype=jnp.int32)[None]
+    )
+    src_rows = src_rows.at[bidx, merged_pos].set(dst_of_merged)
+    row_of_token = jnp.zeros((b, n), jnp.int32)
+    row_of_token = row_of_token.at[:, dst_idx].set(
+        jnp.arange(nd, dtype=jnp.int32)[None]
+    )
+    row_of_token = row_of_token.at[:, src_idx].set(src_rows)
 
     def merge(x: jnp.ndarray) -> jnp.ndarray:
         xs = x[:, src_idx]
-        xd = x[:, dst_idx].astype(jnp.float32)
-        xm = jnp.take_along_axis(xs, merged_pos[..., None], axis=1).astype(jnp.float32)
+        xd = x[:, dst_idx]
+        xm = jnp.take_along_axis(xs, merged_pos[..., None], axis=1)
         xu = jnp.take_along_axis(xs, unm_pos[..., None], axis=1)
-
-        def one(xd1, xm1, d1):
-            s = xd1.at[d1].add(xm1)
-            cnt = jnp.ones((nd,), jnp.float32).at[d1].add(1.0)
-            return s / cnt[:, None]
-
-        xd = jax.vmap(one)(xd, xm, dst_of_merged).astype(x.dtype)
+        # destination accumulate on the MXU: one-hot [B, r, Nd] @ xm
+        onehot = (
+            dst_of_merged[..., None] == jnp.arange(nd, dtype=jnp.int32)
+        ).astype(x.dtype)
+        sums = jnp.einsum(
+            "brd,brc->bdc", onehot, xm, preferred_element_type=jnp.float32
+        )
+        cnt = 1.0 + jnp.sum(onehot.astype(jnp.float32), axis=1)  # [B, Nd]
+        xd = ((xd.astype(jnp.float32) + sums) / cnt[..., None]).astype(x.dtype)
         return jnp.concatenate([xd, xu], axis=1)  # [B, Nd + Ns - r, C]
 
     def unmerge(y: jnp.ndarray) -> jnp.ndarray:
-        yd, yu = y[:, :nd], y[:, nd:]
-        ym = jnp.take_along_axis(yd, dst_of_merged[..., None], axis=1)
-        out = jnp.zeros((b, n) + y.shape[2:], y.dtype)
-        out = out.at[bidx, dst_idx[None]].set(yd)
-        out = out.at[bidx, src_abs[unm_pos]].set(yu)
-        out = out.at[bidx, src_abs[merged_pos]].set(ym)
-        return out
+        return jnp.take_along_axis(y, row_of_token[..., None], axis=1)
 
     return merge, unmerge, n - r

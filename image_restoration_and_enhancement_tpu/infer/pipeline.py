@@ -89,6 +89,7 @@ class RestorationPipeline:
         quant: Optional[str] = None,
         quant_calib: Optional[str] = None,
         cfg_cache_interval: int = 1,
+        tome_ratio: float = 0.0,
         mesh=None,
         model_axis: Optional[str] = None,
         spatial_axis: Optional[str] = None,
@@ -119,6 +120,13 @@ class RestorationPipeline:
         # cfg_cache_interval); quality-gate with scripts/eval_quant_quality
         # --cfg_cache before enabling in production.
         self.cfg_cache_interval = int(cfg_cache_interval)
+        # >0 = opt-in approximate token-merge serving (ops/token_merge.py);
+        # quality-gate with scripts/eval_quant_quality --tome first. Like
+        # quant, the policy is trace-time and process-global.
+        if tome_ratio:
+            from ..ops import token_merge
+
+            token_merge.set_tome(float(tome_ratio))
         # Serving quantization (beyond-reference): quant=None defers to the
         # IRET_QUANT env var; "int8" = dynamic w8a8 (ops/quant.py);
         # "int8_static" additionally needs quant_calib = a JSON from

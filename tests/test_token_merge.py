@@ -133,6 +133,20 @@ def test_sampling_e2e_with_tome(monkeypatch):
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
 
 
+def test_pipeline_tome_kwarg():
+    # the product serving surface: RestorationPipeline(tome_ratio=r) arms
+    # the trace-time policy exactly like the quant/cfg_cache knobs
+    from image_restoration_and_enhancement_tpu.infer.pipeline import (
+        RestorationPipeline,
+    )
+
+    try:
+        RestorationPipeline(tome_ratio=0.25)
+        assert tm.current_ratio() == 0.25
+    finally:
+        tm.set_tome(None)
+
+
 def test_env_policy_parse(monkeypatch):
     monkeypatch.setenv("IRET_TOME", "0.5")
     assert tm.current_ratio() == 0.5

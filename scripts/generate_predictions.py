@@ -31,6 +31,16 @@ def main():
     p.add_argument("--spatial_shards", type=int, default=0,
                    help="shard each image's height over this many chips "
                         "(sequence parallelism for vision; docs/SERVING.md)")
+    # serving-mode pass-throughs (docs/SERVING.md §3-4b); the approximate
+    # modes (--cfg_cache >1, --tome >0) are opt-in and should be
+    # quality-gated with scripts/eval_quant_quality.py first
+    p.add_argument("--quant", default=None,
+                   choices=["none", "int8", "int8_static"])
+    p.add_argument("--quant_calib", default=None,
+                   help="calibration JSON from scripts/calibrate_quant.py "
+                        "(required for int8_static)")
+    p.add_argument("--cfg_cache", type=int, default=1)
+    p.add_argument("--tome", type=float, default=0.0)
     args = p.parse_args()
 
     mesh_kwargs = {}
@@ -47,7 +57,11 @@ def main():
             "spatial_axis": "sp",
         }
     pipeline = RestorationPipeline(models_root=args.models_root,
-                                   max_size=args.max_size, **mesh_kwargs)
+                                   max_size=args.max_size,
+                                   quant=args.quant,
+                                   quant_calib=args.quant_calib,
+                                   cfg_cache_interval=args.cfg_cache,
+                                   tome_ratio=args.tome, **mesh_kwargs)
     for task in args.tasks:
         spec = TASKS[task]
         in_dir = os.path.join(args.data_root, spec.pair_dir, args.split, "input")

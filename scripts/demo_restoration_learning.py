@@ -81,6 +81,21 @@ def gen_data(out: str, size: int, sigma: float, n_train: int, n_val: int,
             Image.fromarray(noisy).save(os.path.join(in_dir, f"i{i:04d}.png"))
 
 
+def demo_model_config():
+    """The demo's 'small' (not tiny) stack — shared with
+    scripts/demo_eval_sweep.py so the eval rebuilds identical modules."""
+    import dataclasses as _dc
+
+    from image_restoration_and_enhancement_tpu import config as C
+
+    unet = _dc.replace(
+        C.TINY_UNET, block_out_channels=(32, 64, 64, 64),
+        num_attention_heads=4,
+    )
+    vae = _dc.replace(C.TINY_VAE, block_out_channels=(16, 32, 32, 32))
+    return C.SDModelConfig(unet=unet, vae=vae, text_encoder=C.TINY_CLIP_TEXT)
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", default="outputs/demo_learning")
@@ -116,14 +131,7 @@ def main() -> None:
     )
 
     # "small" (not tiny) stack: enough capacity for the ~9-dof family
-    unet = dataclasses.replace(
-        C.TINY_UNET, block_out_channels=(32, 64, 64, 64),
-        num_attention_heads=4,
-    )
-    vae = dataclasses.replace(C.TINY_VAE, block_out_channels=(16, 32, 32, 32))
-    model_config = C.SDModelConfig(
-        unet=unet, vae=vae, text_encoder=C.TINY_CLIP_TEXT
-    )
+    model_config = demo_model_config()
 
     # stage 1: data (idempotent)
     marker = os.path.join(args.out, "pairs", "denoise", "val", "gt")

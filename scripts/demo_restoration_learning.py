@@ -112,6 +112,12 @@ def main() -> None:
                    help="cpu (default) keeps the demo off the serialized "
                         "TPU relay; 'default' uses whatever jax picks")
     p.add_argument("--artifact_dir", default="docs/artifacts/demo_learning")
+    p.add_argument("--vae_data", default="clean", choices=["clean", "mixed"],
+                   help="mixed = pretrain the VAE on clean AND degraded "
+                        "images (a noise-faithful autoencoder, like the "
+                        "general-purpose SD VAE) so the round-trip is no "
+                        "longer a free denoiser and the UNet's fidelity "
+                        "contribution is measurable on its own")
     args = p.parse_args()
 
     import jax
@@ -140,13 +146,29 @@ def main() -> None:
         gen_data(args.out, args.size, args.sigma, args.n_train, args.n_val,
                  args.seed)
 
-    # stage 2: frozen-VAE pretrain on the clean family (idempotent)
+    # stage 2: frozen-VAE pretrain (idempotent). vae_data=mixed builds a
+    # clean+degraded corpus first (symlinked clean split + the noisy
+    # inputs), so the autoencoder learns to reconstruct degradations
+    # faithfully instead of projecting them away.
+    vae_data_root = os.path.join(args.out, "clean")
+    if args.vae_data == "mixed":
+        vae_data_root = os.path.join(args.out, "vae_mix")
+        for split in ("train", "val"):
+            d = os.path.join(vae_data_root, split)
+            os.makedirs(d, exist_ok=True)
+            for kind, sub in (("clean", os.path.join(args.out, "clean", split)),
+                              ("noisy", os.path.join(args.out, "pairs", "denoise",
+                                                     split, "input"))):
+                for f in os.listdir(sub):
+                    dst = os.path.join(d, f"{kind}_{f}")
+                    if not os.path.exists(dst):
+                        shutil.copy(os.path.join(sub, f), dst)
     vae_dir = os.path.join(args.out, "vae_pretrained")
     from image_restoration_and_enhancement_tpu.core import checkpoint as ckpt
     if not ckpt.pipeline_exists(os.path.join(vae_dir, "best")):
-        print("== stage 2: VAE reconstruction pretrain")
+        print(f"== stage 2: VAE reconstruction pretrain ({args.vae_data})")
         m = pretrain_vae(
-            data_root=os.path.join(args.out, "clean"),
+            data_root=vae_data_root,
             output_dir=vae_dir,
             cfg=VAEPretrainConfig(
                 num_epochs=args.vae_epochs, batch_size=args.batch_size,

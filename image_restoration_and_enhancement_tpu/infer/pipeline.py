@@ -122,8 +122,16 @@ class RestorationPipeline:
         self.cfg_cache_interval = int(cfg_cache_interval)
         # >0 = opt-in approximate token-merge serving (ops/token_merge.py);
         # quality-gate with scripts/eval_quant_quality --tome first. Like
-        # quant, the policy is trace-time and process-global.
-        if tome_ratio:
+        # quant, the policy is trace-time and process-global. Incompatible
+        # with spatial sharding: the merge gathers index the full flattened
+        # H*W token dim, which sp shards — GSPMD would have to all-gather
+        # every site (and this repo already works around one GSPMD
+        # miscompile in that area, parallel/spatial.py).
+        if tome_ratio and spatial_axis is not None:
+            logger.warning(
+                "tome_ratio ignored: token merging is incompatible with "
+                "spatial sharding (sharded token dim)")
+        elif tome_ratio:
             from ..ops import token_merge
 
             token_merge.set_tome(float(tome_ratio))

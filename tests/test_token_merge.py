@@ -147,6 +147,22 @@ def test_pipeline_tome_kwarg():
         tm.set_tome(None)
 
 
+def test_pipeline_tome_ignored_under_spatial_sharding():
+    import jax
+
+    from image_restoration_and_enhancement_tpu.infer.pipeline import (
+        RestorationPipeline,
+    )
+    from image_restoration_and_enhancement_tpu.parallel import mesh as meshlib
+
+    mesh = meshlib.make_mesh((1,), ("sp",), devices=jax.devices()[:1])
+    try:
+        RestorationPipeline(tome_ratio=0.25, mesh=mesh, spatial_axis="sp")
+        assert tm.current_ratio() == 0.0  # guarded off, not silently wrong
+    finally:
+        tm.set_tome(None)
+
+
 def test_env_policy_parse(monkeypatch):
     monkeypatch.setenv("IRET_TOME", "0.5")
     assert tm.current_ratio() == 0.5

@@ -163,6 +163,35 @@ def test_pipeline_tome_ignored_under_spatial_sharding():
         tm.set_tome(None)
 
 
+def test_sharded_dp_serving_with_tome(monkeypatch):
+    # ToMe composes with data-parallel sharded serving: the merge indices
+    # are per-image, so batch sharding stays collective-free. Sharded and
+    # unsharded programs agree (same trace-time policy).
+    from image_restoration_and_enhancement_tpu import config as C
+    from image_restoration_and_enhancement_tpu.core import sampling
+    from image_restoration_and_enhancement_tpu.parallel import mesh as meshlib
+
+    monkeypatch.setenv("IRET_TOME_MIN", "64")
+    modules = sampling.SDModules.create(C.TINY_SD, dtype=jnp.float32,
+                                        attention_backend="xla")
+    params = sampling.init_params(modules, jax.random.PRNGKey(0), image_size=64)
+    mesh = meshlib.make_mesh((8,), ("data",))
+    key = jax.random.PRNGKey(3)
+    image = jax.random.uniform(key, (8, 64, 64, 3), minval=-1.0, maxval=1.0)
+    ctx = sampling.encode_text(modules, params, jnp.zeros((8, 77), jnp.int32))
+    with tm.tome_mode(0.5):
+        fn, shard_params = sampling.make_sharded_img2img_fn(
+            modules, mesh, num_inference_steps=3, strength=0.8,
+            guidance_scale=5.0, sampler="ddim",
+        )
+        out = fn(shard_params(params), image, ctx, ctx, key)
+        ref_fn = sampling.make_img2img_fn(modules, 3, 0.8, 5.0, sampler="ddim")
+        ref = ref_fn(params, image, ctx, ctx, key)
+    assert out.shape == (8, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
 def test_env_policy_parse(monkeypatch):
     monkeypatch.setenv("IRET_TOME", "0.5")
     assert tm.current_ratio() == 0.5

@@ -151,6 +151,20 @@ def main():
         print(f"{lbl:11s} vs gt   : psnr {p_m:7.3f}  ssim {s_m:.4f}")
         print(f"{lbl:11s} vs bf16 : psnr {p_x:7.3f}  ssim {s_x:.4f}")
         print(f"gt-psnr delta (bf16 - {lbl}): {p_b - p_m:+.4f} dB")
+    if args.cfg_cache > 1 and args.tome > 0.0:
+        # the combined fast-serving candidate: every approximate knob on at
+        # once (int8_static + CFG cache + token merge) — gated as shipped
+        out_c = run(modules, params, ctx, un, x, s.num_inference_steps,
+                    s.strength, s.guidance_scale, s.sampler,
+                    mode="int8_static", cfg_cache=args.cfg_cache,
+                    tome=args.tome, attn_int8_min=args.attn_int8_min)
+        c01 = (out_c + 1) / 2
+        p_c, s_c = metrics_vs(c01, g01)
+        p_x, s_x = metrics_vs(c01, b01)
+        lbl = f"combo(k{args.cfg_cache}+t{args.tome:g})"
+        print(f"{lbl:11s} vs gt   : psnr {p_c:7.3f}  ssim {s_c:.4f}")
+        print(f"{lbl:11s} vs bf16 : psnr {p_x:7.3f}  ssim {s_x:.4f}")
+        print(f"gt-psnr delta (bf16 - {lbl}): {p_b - p_c:+.4f} dB")
 
 
 if __name__ == "__main__":

@@ -37,7 +37,7 @@ run_item() {
     echo "--- skip $label: ${rem}s left (< ${need}s)" >> "$OUT"; return
   fi
   echo "--- $label start $(date) (budget ${rem}s)" >> "$OUT"
-  timeout $(( rem < 3600 ? rem : 3600 )) "$@" >> "$OUT" 2>"/tmp/s56_${label}.err"
+  timeout $(( rem < 5400 ? rem : 5400 )) "$@" >> "$OUT" 2>"/tmp/s56_${label}.err"
   echo "--- $label exit=$? $(date)" >> "$OUT"
 }
 
@@ -57,7 +57,7 @@ bench_item() {
 CKPT=outputs/models/denoising/best
 if [ -d "$CKPT" ]; then
   # 1. primary quality gate: bf16 ref + int8_static + turbo k2 + tome 0.5
-  run_item gate_combo 1500 python scripts/eval_quant_quality.py \
+  run_item gate_combo 1500 python -u scripts/eval_quant_quality.py \
     --checkpoint "$CKPT" --size 512 --n 4 --modes int8_static \
     --cfg_cache 2 --tome 0.5
 else
@@ -90,11 +90,11 @@ bench_item fcost 700 \
 
 # 5. second-tier gates
 if [ -d "$CKPT" ]; then
-  run_item gate_k3 1200 python scripts/eval_quant_quality.py \
+  run_item gate_k3 1200 python -u scripts/eval_quant_quality.py \
     --checkpoint "$CKPT" --size 512 --n 4 --modes int8_static --cfg_cache 3
 fi
 if [ -d outputs/models/super_resolution/best ]; then
-  run_item gate_sr 1200 python scripts/eval_quant_quality.py \
+  run_item gate_sr 1200 python -u scripts/eval_quant_quality.py \
     --checkpoint outputs/models/super_resolution/best --task sr_x4 \
     --pairs data/pairs/sr_x4/val --size 512 --n 4 --modes int8_static
 fi

@@ -64,15 +64,16 @@ def summarize(art_root: str, models_root: str, eval_json: str) -> str:
             )
             lines.append("")
     lines += [
-        "| task | epochs | val PSNR ep1 -> best (epoch) | SSIM best | "
-        "input PSNR | final loss | warm epoch (s) | ref best PSNR/SSIM | ref epoch |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| task | epochs | val PSNR ep1 -> best (epoch) | SSIM ep1 -> best | "
+        "Y/L-PSNR ep1 -> final | input PSNR | final loss | warm epoch (s) | "
+        "ref best PSNR/SSIM | ref epoch |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for task, (model_dir, csv_name, log_name) in TASKS.items():
         roots = [art_root, os.path.join(models_root, model_dir)]
         cpath = find_file(csv_name, roots)
         if cpath is None:
-            lines.append(f"| {task} | — | (no artifacts) | | | | | | |")
+            lines.append(f"| {task} | — | (no artifacts) | | | | | | | |")
             continue
         with open(cpath) as f:
             rows = list(csv.DictReader(f))
@@ -100,10 +101,19 @@ def summarize(art_root: str, models_root: str, eval_json: str) -> str:
             tail = sorted(epoch_secs[1:])
             warm = f"{tail[len(tail) // 2]:.0f}"
         ref_p, ref_s, ref_t = REF[task]
+        sbest = max(rows, key=lambda r: float(r["ssim"]))
+        ssim_col = (f"{float(rows[0]['ssim']):.4f} -> "
+                    f"{float(sbest['ssim']):.4f} (ep {sbest['epoch']})")
+        # luma-channel trend (psnr_y for denoise/sr, psnr_l for colorize) —
+        # the restoration signal an undertrained eps-predictor's color cast
+        # hides from RGB PSNR
+        ykey = next((k for k in ("psnr_y", "psnr_l") if rows[0].get(k)), None)
+        y_col = (f"{float(rows[0][ykey]):.2f} -> {float(rows[-1][ykey]):.2f}"
+                 if ykey else "")
         lines.append(
             f"| {task} | {n_epochs} | {float(rows[0]['psnr']):.2f} -> "
             f"{float(best['psnr']):.2f} (ep {best['epoch']}) | "
-            f"{float(best['ssim']):.4f} | {input_psnr} | "
+            f"{ssim_col} | {y_col} | {input_psnr} | "
             f"{final_loss:.4f} | {warm} | {ref_p:.2f} / {ref_s:.4f} | {ref_t} |"
         )
     ep = find_file(os.path.basename(eval_json), [os.path.dirname(eval_json) or "."])

@@ -406,10 +406,15 @@ def train_task(
         # orbax coordinates multi-host itself: every process participates.
         # Cadence: every state_save_epochs epochs + always the final epoch
         # (async — the background commit overlaps the next epoch's compute).
+        # -1 = never save the ~3.2GiB train state (throwaway runs on slow
+        # disk; the best/ pipeline checkpoint is still written above).
         is_last = epoch + 1 == cfg.num_epochs
-        if is_last or (
-            cfg.state_save_epochs > 0
-            and (epoch + 1 - start_epoch) % cfg.state_save_epochs == 0
+        if cfg.state_save_epochs >= 0 and (
+            is_last
+            or (
+                cfg.state_save_epochs > 0
+                and (epoch + 1 - start_epoch) % cfg.state_save_epochs == 0
+            )
         ):
             train_ckpt.save(global_step, state, wait=is_last)
 

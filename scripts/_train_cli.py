@@ -46,7 +46,8 @@ def build_parser(task: str, default_output: str) -> argparse.ArgumentParser:
     p.add_argument("--state_save_epochs", type=int, default=5,
                    help="Orbax train-state (exact resume) save cadence in "
                         "epochs; the final epoch is always saved. 0 = final "
-                        "only. The state is ~3.2GiB for the 860M UNet.")
+                        "only, -1 = never (weights-only throwaway runs on "
+                        "slow disk). The state is ~3.2GiB for the 860M UNet.")
     p.add_argument("--base_model", default="sd15",
                    choices=["sd15", "sdxl", "tiny_sd", "tiny_sdxl"],
                    help="Model stack to fine-tune (reference --base_model, "

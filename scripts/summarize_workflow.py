@@ -49,15 +49,18 @@ def find_file(name, roots):
 
 def summarize(art_root: str, models_root: str, eval_json: str) -> str:
     lines = []
-    vae_csv = find_file("metrics_vae.csv",
-                        [art_root, os.path.join(models_root, "vae_pretrained")])
-    if vae_csv:
+    for vname, vlabel in [("metrics_vae.csv", "VAE pretrain (stage 0)"),
+                          ("metrics_vae_run2.csv", "VAE pretrain (run 2)")]:
+        vae_csv = find_file(vname,
+                            [art_root, os.path.join(models_root, "vae_pretrained")])
+        if not vae_csv:
+            continue
         with open(vae_csv) as f:
             vrows = list(csv.DictReader(f))
         if vrows:
             vbest = max(vrows, key=lambda r: float(r["psnr"]))
             lines.append(
-                f"VAE pretrain (stage 0): {len(vrows)} epochs, recon PSNR "
+                f"{vlabel}: {len(vrows)} epochs, recon PSNR "
                 f"{float(vrows[0]['psnr']):.2f} -> {float(vbest['psnr']):.2f} dB "
                 f"(best ep {vbest['epoch']}), scaled-latent std "
                 f"{float(vrows[-1]['latent_std']):.3f}"
@@ -69,7 +72,19 @@ def summarize(art_root: str, models_root: str, eval_json: str) -> str:
         "ref best PSNR/SSIM | ref epoch |",
         "|---|---|---|---|---|---|---|---|---|---|",
     ]
-    for task, (model_dir, csv_name, log_name) in TASKS.items():
+    # run-2 checkpoint-restore retrains (VM-reset recovery; see
+    # docs/WORKFLOW.md "Two runs") get their own rows so they never
+    # masquerade as the full run-1 curves.
+    task_rows = [(t, spec, "") for t, spec in TASKS.items()]
+    for t, (model_dir, csv_name, log_name) in TASKS.items():
+        base, ext = os.path.splitext(csv_name)
+        lbase, lext = os.path.splitext(log_name)
+        if find_file(f"{base}_run2{ext}", [art_root]):
+            task_rows.append(
+                (f"{t} (run-2 retrain)",
+                 (model_dir, f"{base}_run2{ext}", f"{lbase}_run2{lext}"),
+                 "_run2"))
+    for task, (model_dir, csv_name, log_name), _suffix in task_rows:
         roots = [art_root, os.path.join(models_root, model_dir)]
         cpath = find_file(csv_name, roots)
         if cpath is None:
@@ -100,7 +115,7 @@ def summarize(art_root: str, models_root: str, eval_json: str) -> str:
         if len(epoch_secs) > 1:
             tail = sorted(epoch_secs[1:])
             warm = f"{tail[len(tail) // 2]:.0f}"
-        ref_p, ref_s, ref_t = REF[task]
+        ref_p, ref_s, ref_t = REF[task.split(" ")[0]]
         sbest = max(rows, key=lambda r: float(r["ssim"]))
         ssim_col = (f"{float(rows[0]['ssim']):.4f} -> "
                     f"{float(sbest['ssim']):.4f} (ep {sbest['epoch']})")
@@ -116,7 +131,8 @@ def summarize(art_root: str, models_root: str, eval_json: str) -> str:
             f"{ssim_col} | {y_col} | {input_psnr} | "
             f"{final_loss:.4f} | {warm} | {ref_p:.2f} / {ref_s:.4f} | {ref_t} |"
         )
-    ep = find_file(os.path.basename(eval_json), [os.path.dirname(eval_json) or "."])
+    ep = find_file(os.path.basename(eval_json),
+                   [os.path.dirname(eval_json) or ".", art_root])
     if ep:
         with open(ep) as f:
             ev = json.load(f)

@@ -66,6 +66,25 @@ def test_train_task_tiny_end_to_end(pair_root, tmp_path):
     assert tc.latest_step() == 4  # 2 epochs x 2 steps
 
 
+def test_state_save_epochs_never(pair_root, tmp_path):
+    """state_save_epochs=-1 skips ALL orbax train-state saves (weights-only
+    throwaway runs on slow disks); best/ + final/ pipelines still land."""
+    out_dir = str(tmp_path / "out_nostate")
+    cfg = TrainConfig(
+        num_epochs=2, batch_size=2, gradient_accumulation_steps=1,
+        lambda_img=0.0, image_size=64, save_steps=-1, state_save_epochs=-1,
+    )
+    train_task(
+        "denoise", data_root=pair_root, output_dir=out_dir, cfg=cfg,
+        use_mesh=False, dtype=jnp.float32, model_config=C.TINY_SD,
+    )
+    assert ckpt.pipeline_exists(os.path.join(out_dir, "best"))
+    assert ckpt.pipeline_exists(os.path.join(out_dir, "final"))
+    state_dir = os.path.join(out_dir, "train_state")
+    steps = os.listdir(state_dir) if os.path.isdir(state_dir) else []
+    assert not steps, f"state_save_epochs=-1 wrote train state: {steps}"
+
+
 def test_resume_continues_epoch_schedule(pair_root, tmp_path):
     """--resume must continue where the state left off: train only the
     REMAINING epochs (epoch offset derived from state.step), keep CSV epoch

@@ -23,8 +23,49 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 A100_REFERENCE_IMG_PER_S = 0.55
 
+# Hard wall-clock deadline with re-exec retry. The TPU relay can drop an
+# in-flight response (observed 2026-08-20: a training stage's jax client
+# froze forever mid device-init while an independent probe client worked
+# fine). This benchmark runs unattended at round end; without a deadline a
+# dropped response would hang it indefinitely and record nothing. On
+# expiry the process re-execs itself (same PID, fresh jax client + relay
+# connection) up to BENCH_MAX_RETRIES times, then exits non-zero — it
+# never prints a fabricated number.
+BENCH_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "3600") or 0)
+BENCH_MAX_RETRIES = int(os.environ.get("BENCH_MAX_RETRIES", "2"))
+
+
+def _arm_deadline():
+    if BENCH_DEADLINE_S <= 0:
+        return
+    import threading
+
+    attempt = int(os.environ.get("BENCH_RETRY", "0"))
+
+    def fire():
+        sys.stderr.write(
+            f"bench.py: no result after {BENCH_DEADLINE_S:.0f}s "
+            f"(attempt {attempt + 1}) — "
+        )
+        if attempt >= BENCH_MAX_RETRIES:
+            sys.stderr.write("giving up\n")
+            sys.stderr.flush()
+            os._exit(1)
+        sys.stderr.write("re-exec with a fresh client\n")
+        sys.stderr.flush()
+        os.environ["BENCH_RETRY"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+    t = threading.Timer(BENCH_DEADLINE_S, fire)
+    t.daemon = True
+    t.start()
+
 
 def main():
+    _arm_deadline()
+    if os.environ.get("BENCH_TEST_SLEEP"):  # deadline self-test hook
+        time.sleep(float(os.environ["BENCH_TEST_SLEEP"]))
+        return
     import jax
     import jax.numpy as jnp
     import numpy as np

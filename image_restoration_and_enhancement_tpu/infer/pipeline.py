@@ -51,6 +51,13 @@ ImageLike = Union[Image.Image, np.ndarray]
 DEFAULT_MODEL_ROOT = "outputs/models"
 
 
+class StrictQuantError(RuntimeError):
+    """Raised under IRET_QUANT_STRICT=1 when int8_static serving drifts off
+    its calibration table. Deliberately NOT caught by the per-task fallback
+    handlers: strict mode exists to fail loudly, and silently serving the
+    classical fallback would be exactly the degradation it guards against."""
+
+
 def _to_uint8(image: ImageLike) -> np.ndarray:
     if isinstance(image, Image.Image):
         return np.array(image.convert("RGB"))
@@ -127,10 +134,18 @@ class RestorationPipeline:
         # H*W token dim, which sp shards — GSPMD would have to all-gather
         # every site (and this repo already works around one GSPMD
         # miscompile in that area, parallel/spatial.py).
-        if tome_ratio and spatial_axis is not None:
-            logger.warning(
-                "tome_ratio ignored: token merging is incompatible with "
-                "spatial sharding (sharded token dim)")
+        if spatial_axis is not None:
+            from ..ops import token_merge
+
+            if tome_ratio or token_merge.current_ratio():
+                logger.warning(
+                    "token merging disabled: incompatible with spatial "
+                    "sharding (sharded token dim)")
+            # Force OFF (not just ignore the kwarg): the IRET_TOME env var
+            # is an equally documented enable path and would otherwise be
+            # resolved at trace time inside the sp-sharded program. The
+            # policy is process-global, like quant.
+            token_merge.set_tome(0.0)
         elif tome_ratio:
             from ..ops import token_merge
 
@@ -217,6 +232,10 @@ class RestorationPipeline:
                 try:
                     logger.info("Loading fine-tuned %s stack from %s", task_name, found)
                     params = ckpt.load_pipeline(found)
+                    # The directory actually loaded (best/, checkpoint-N)
+                    # is what is self-describing (model_index.json,
+                    # tokenizer assets) — not the configured parent.
+                    src_dir = found
                 except Exception:
                     logger.exception("Failed loading checkpoint at %s", found)
                     params = None
@@ -414,7 +433,6 @@ class RestorationPipeline:
         new = quant_ops.static_misses() - self._warned_misses
         if not new:
             return
-        self._warned_misses |= new
         msg = (
             f"int8_static: {len(new)} quantized site(s) missing from the "
             f"calibration table fell back to dynamic quantization (stale or "
@@ -423,7 +441,11 @@ class RestorationPipeline:
         import os as _os
 
         if _os.environ.get("IRET_QUANT_STRICT"):
-            raise RuntimeError(msg)
+            # strict mode raises on EVERY off-calibration call (misses stay
+            # unrecorded), not just the first — a served request must never
+            # silently ride a stale table.
+            raise StrictQuantError(msg)
+        self._warned_misses |= new
         logger.warning(msg)
 
     # ------------------------------------------------------------------
@@ -442,6 +464,8 @@ class RestorationPipeline:
                     spec.sampler.num_inference_steps, strength,
                     spec.sampler.guidance_scale, spec.sampler.sampler,
                 ))
+            except StrictQuantError:
+                raise
             except Exception:
                 logger.exception("SD denoise failed; OpenCV fallback")
         return _to_pil(fallbacks.denoise_opencv(img, strength))
@@ -461,6 +485,8 @@ class RestorationPipeline:
                     spec.sampler.num_inference_steps, spec.sampler.strength,
                     spec.sampler.guidance_scale, spec.sampler.sampler,
                 ))
+            except StrictQuantError:
+                raise
             except Exception:
                 logger.exception("SD super-resolution failed; next backend")
         # Real-ESRGAN-equivalent backend (RRDBNet), gated on imported weights
@@ -492,6 +518,8 @@ class RestorationPipeline:
                     spec.sampler.num_inference_steps, spec.sampler.strength,
                     spec.sampler.guidance_scale, spec.sampler.sampler,
                 ))
+            except StrictQuantError:
+                raise
             except Exception:
                 logger.exception("SD colorize failed; LAB fallback")
         return _to_pil(fallbacks.colorize_lab(img))
@@ -517,6 +545,8 @@ class RestorationPipeline:
                     spec.sampler.guidance_scale, spec.sampler.sampler,
                     mask_u8=mask_np,
                 ))
+            except StrictQuantError:
+                raise
             except Exception:
                 logger.exception("SD inpaint failed; returning original")
         return _to_pil(img)  # no classical inpaint fallback (reference parity)
@@ -556,6 +586,8 @@ class RestorationPipeline:
                     results["inpainted"] = current
                 else:
                     logger.warning("Unknown task %r skipped", task)
+            except StrictQuantError:
+                raise
             except Exception:
                 logger.exception("Error processing task %s", task)
                 continue

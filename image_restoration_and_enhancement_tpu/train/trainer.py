@@ -57,12 +57,22 @@ def _is_main() -> bool:
 
 
 def _setup_logging(output_dir: str, task: str) -> None:
+    """Attach the per-run training log file to the root logger.
+
+    REPLACES any handler a previous call installed (tagged attribute):
+    stacking them would duplicate every later record into every earlier
+    run's log — e.g. a VAE pretrain followed by train_task in one process
+    would append the whole denoise log to training_vae.log."""
     if not _is_main():
         return
     os.makedirs(output_dir, exist_ok=True)
+    root = logging.getLogger()
+    for h in [h for h in root.handlers if getattr(h, "_iret_task_log", False)]:
+        root.removeHandler(h)
+        h.close()
     handler = logging.FileHandler(os.path.join(output_dir, f"training_{task}.log"), mode="a")
     handler.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
-    root = logging.getLogger()
+    handler._iret_task_log = True
     root.addHandler(handler)
     if root.level > logging.INFO:
         root.setLevel(logging.INFO)
@@ -112,6 +122,7 @@ def run_validation(
     max_batches: Optional[int] = None,
     seed: int = 42,
     sampler_fn_cache: Optional[dict] = None,
+    log_input_baseline: Optional[bool] = None,
 ) -> ValidationResult:
     """Sample the pipeline on val pairs and compute task metrics.
 
@@ -169,7 +180,10 @@ def run_validation(
         # LPIPS when learned weights are imported (reference validation
         # computes it, train_denoising.py:328-519; column stays empty
         # otherwise — availability-gated like the reference's optional dep)
-        if epoch <= 1:
+        # Baseline on the FIRST validated epoch of this run — which is not
+        # epoch 1 on a resumed run (log_input_baseline lets the trainer say
+        # so explicitly; the epoch<=1 default keeps direct callers working).
+        if (epoch <= 1 if log_input_baseline is None else log_input_baseline):
             # "restores" must be measured, not asserted: record the
             # do-nothing baseline PSNR(degraded input, gt) once per run so
             # output PSNR has a reference point in the log.
@@ -264,6 +278,7 @@ def train_task(
         logger.warning("random-initializing all components (no init_from)")
         params = sampling.init_params(modules, rng, image_size=cfg.image_size)
 
+    seeded_comps: set = set()
     if vae_init:
         # Seed FROZEN components (VAE, text towers) from a separate
         # pipeline checkpoint — e.g. scripts/pretrain_vae.py output. Without
@@ -275,6 +290,7 @@ def train_task(
         for comp in ("vae", "text_encoder", "text_encoder_2"):
             if comp in seeded:
                 params[comp] = seeded[comp]
+                seeded_comps.add(comp)
                 logger.info("seeded frozen %s from %s", comp, vae_init)
 
     train_ds = PairDataset(spec.name, data_root, "train", cfg.image_size, max_train_samples)
@@ -347,6 +363,7 @@ def train_task(
     # unbounded (CLAUDE.md: never flood the relay with unawaited work).
     _LOSS_FETCH_EVERY = 50
     _FROZEN_COMPS = ("vae", "text_encoder", "text_encoder_2")
+    frozen_synced = False
     for epoch in range(start_epoch, cfg.num_epochs):
         epoch_t0 = time.time()
         losses: List[float] = []
@@ -376,6 +393,7 @@ def train_task(
         vres = run_validation(
             modules, current, spec, val_loader, context, uncond,
             epoch + 1, output_dir, seed=cfg.seed, sampler_fn_cache=sampler_cache,
+            log_input_baseline=(epoch == start_epoch),
         )
         val_metrics = vres.metrics
         logger.info(
@@ -390,12 +408,20 @@ def train_task(
         if vres.psnr > best_psnr:
             best_psnr = vres.psnr
             if _is_main():
-                # frozen components are written on the first best-save only
+                # Frozen components are written on the first best-save of
+                # THIS process only — but components seeded via --vae_init
+                # must overwrite whatever a previous run left in best/
+                # (e.g. a random-init VAE from a run without --vae_init):
+                # the UNet was trained against the seeded weights, and
+                # serving it through stale frozen comps is silent garbage.
+                skip = tuple(c for c in _FROZEN_COMPS
+                             if frozen_synced or c not in seeded_comps)
                 ckpt.save_pipeline(
                     os.path.join(output_dir, "best"), current, spec.model_config,
                     extra_meta={"val_psnr": best_psnr, "epoch": epoch + 1},
-                    skip_existing=_FROZEN_COMPS,
+                    skip_existing=skip,
                 )
+                frozen_synced = True
                 logger.info("new best (psnr %.3f) -> %s/best", best_psnr, output_dir)
 
         if cfg.save_steps == 0 and _is_main():

@@ -157,13 +157,11 @@ def pretrain_vae(
     train_loss)."""
     model_config = model_config or C.SD15
     os.makedirs(output_dir, exist_ok=True)
-    handler = logging.FileHandler(
-        os.path.join(output_dir, "training_vae.log"), mode="a")
-    handler.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
-    root = logging.getLogger()
-    root.addHandler(handler)
-    if root.level > logging.INFO:
-        root.setLevel(logging.INFO)
+    # Shared helper replaces (not stacks) any previous run's file handler,
+    # so a train_task in the same process is not duplicated into this log.
+    from .trainer import _setup_logging
+
+    _setup_logging(output_dir, "vae")
 
     sf = model_config.vae.scaling_factor
     vae = AutoencoderKL(model_config.vae, dtype=dtype)

@@ -206,7 +206,16 @@ def main() -> None:
     import csv as _csv
     rows = list(_csv.DictReader(open(
         os.path.join(args.out, "model", "metrics_denoise.csv"))))
+    # The CSV is append-mode across runs; a re-run restarts the epoch
+    # counter at 1. Summarize ONLY the last run's rows, or epoch1_psnr /
+    # best_epoch would index into a concatenated multi-run list.
+    start = 0
+    for i in range(1, len(rows)):
+        if int(float(rows[i]["epoch"])) <= int(float(rows[i - 1]["epoch"])):
+            start = i
+    rows = rows[start:]
     psnrs = [float(r["psnr"]) for r in rows]
+    epochs = [int(float(r["epoch"])) for r in rows]
     # the do-nothing baseline, recomputed exactly as run_validation logs it
     from image_restoration_and_enhancement_tpu.metrics import functional as F
     base = []
@@ -219,7 +228,7 @@ def main() -> None:
         "input_baseline_psnr": round(float(np.mean(base)), 4),
         "epoch1_psnr": round(psnrs[0], 4),
         "best_psnr": round(max(psnrs), 4),
-        "best_epoch": int(np.argmax(psnrs)) + 1,
+        "best_epoch": epochs[int(np.argmax(psnrs))],
         "final_psnr": round(psnrs[-1], 4),
         "rising_curve": bool(max(psnrs) > psnrs[0]),
         "beats_do_nothing": bool(max(psnrs) > float(np.mean(base))),

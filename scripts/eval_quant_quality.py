@@ -47,6 +47,9 @@ def load_batch(pairs_dir: str, n: int, size: int):
     return jnp.asarray(x), jnp.asarray(g)
 
 
+_CALIB_DONE: set = set()
+
+
 def run(modules, params, ctx, un, x, steps, strength, gs, sampler, mode,
         cfg_cache=1, attn_int8_min=0, tome=0.0):
     # attention-quantization knob is trace-time (ops/attention.py dispatch):
@@ -57,11 +60,18 @@ def run(modules, params, ctx, un, x, steps, strength, gs, sampler, mode,
         os.environ.pop("IRET_ATTN_XLA_INT8_MIN", None)
     if mode == "int8_static":
         # calibrate on the same inputs (one dynamic-int8 pass), then trace
-        # the serving fn with the scales baked in as constants
-        calib = sampling.make_calib_img2img_fn(modules, steps, strength, gs,
-                                               sampler=sampler)
-        _, stats = calib(params, x, ctx, un, jax.random.PRNGKey(42))
-        quant.load_static_table({k: float(v) for k, v in stats.items()})
+        # the serving fn with the scales baked in as constants. The scales
+        # depend only on (params, inputs, sampler settings) — identical for
+        # the int8_static / turbo / tome / combo runs of one gate — so
+        # calibrate ONCE per settings key, not once per run (each pass is a
+        # full multi-minute 20-step device program at 512px).
+        ck = (steps, strength, gs, sampler, tuple(x.shape))
+        if ck not in _CALIB_DONE:
+            calib = sampling.make_calib_img2img_fn(modules, steps, strength,
+                                                   gs, sampler=sampler)
+            _, stats = calib(params, x, ctx, un, jax.random.PRNGKey(42))
+            quant.load_static_table({k: float(v) for k, v in stats.items()})
+            _CALIB_DONE.add(ck)
     with quant.quant_mode(mode), token_merge.tome_mode(tome or None):
         fn = sampling.make_img2img_fn(modules, steps, strength, gs, sampler,
                                       cfg_cache_interval=cfg_cache)

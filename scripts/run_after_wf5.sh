@@ -16,8 +16,11 @@ bench_item() {
   if [ "$rem" -lt "$need" ]; then
     echo "--- skip bench $label: ${rem}s left" >> "$OUT"; return
   fi
-  # skip anything v5 already measured
-  if grep -q "^--- $label start" "$OUT" 2>/dev/null; then
+  # skip anything v5 already measured SUCCESSFULLY (exit=0 means bench.py
+  # printed its result line; a bare start marker from a timed-out/crashed
+  # attempt must NOT count as measured — retrying those is this script's
+  # whole purpose)
+  if grep -q "^--- $label exit=0" "$OUT" 2>/dev/null; then
     echo "--- $label already measured, skipping" >> "$OUT"; return
   fi
   echo "--- $label start $(date)" >> "$OUT"

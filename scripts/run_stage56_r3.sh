@@ -23,7 +23,9 @@ LOG=${LOG:-/tmp/workflow.log}
 DEADLINE_TS=${DEADLINE_TS:-$(( $(date +%s) + 14400 ))}
 cd "$(dirname "$0")/.."
 
-while ! grep -q "reference workflow done" "$LOG" 2>/dev/null; do sleep 120; done
+# match any workflow generation's completion marker (v4 wrote
+# "reference workflow done", v5+ write "reference workflow vN done")
+while ! grep -qE "reference workflow( v[0-9]+)? done" "$LOG" 2>/dev/null; do sleep 120; done
 
 left() { echo $(( DEADLINE_TS - $(date +%s) )); }
 

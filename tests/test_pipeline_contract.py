@@ -273,9 +273,14 @@ def test_int8_static_miss_warning_and_strict_mode(tmp_path, caplog, monkeypatch)
         assert out.shape == x.shape
         assert any("calibration table" in r.message for r in caplog.records)
 
-        # strict mode: same situation is a hard error (no silent fallback
-        # into the classical chain — denoise() logs and falls back, so probe
-        # _run_sd directly)
+        # strict mode: same situation is a hard error THROUGH THE PUBLIC
+        # API — StrictQuantError must not be swallowed into the classical
+        # fallback by denoise()/process() (that silent degradation is what
+        # strict mode exists to prevent)
+        from image_restoration_and_enhancement_tpu.infer.pipeline import (
+            StrictQuantError,
+        )
+
         monkeypatch.setenv("IRET_QUANT_STRICT", "1")
         p2 = RestorationPipeline(
             config={"denoise": {"fine_tuned_dir": str(tmp_path / "ft"),
@@ -283,11 +288,12 @@ def test_int8_static_miss_warning_and_strict_mode(tmp_path, caplog, monkeypatch)
             dtype=jnp.float32, quant="int8_static",
         )
         quant.load_static_table({})
-        stack = p2._load_stack("denoise")
         import pytest as _pytest
 
-        with _pytest.raises(RuntimeError, match="calibration table"):
-            p2._run_sd(stack, x, "p", 2, 0.5, 5.0, "plms")
+        with _pytest.raises(StrictQuantError, match="calibration table"):
+            p2.denoise(x)
+        with _pytest.raises(StrictQuantError, match="calibration table"):
+            p2.process(x, ["denoise"])
     finally:
         registry.TASKS["denoise"] = orig
         quant.set_mode(None)

@@ -82,3 +82,17 @@ def test_model_config_string_override(models_root):
     )
     stack = p._load_stack("denoise")
     assert stack is not None and stack["modules"].is_sdxl
+
+
+def test_model_dir_fine_tuned_dir_still_self_describes(models_root):
+    """fine_tuned_dir can be the MODEL dir (reference semantics resolve it
+    to best/ or checkpoint-N). The self-description lookup must read the
+    directory actually loaded, not the configured parent — a stale src_dir
+    served SDXL weights through SD1.5-configured modules."""
+    p = RestorationPipeline(
+        config={"denoise": {
+            "fine_tuned_dir": os.path.join(models_root, "denoising")}},
+        dtype=jnp.float32,
+    )
+    stack = p._load_stack("denoise")
+    assert stack is not None and stack["modules"].is_sdxl

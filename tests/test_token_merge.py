@@ -163,6 +163,27 @@ def test_pipeline_tome_ignored_under_spatial_sharding():
         tm.set_tome(None)
 
 
+def test_pipeline_tome_env_var_also_guarded_under_spatial_sharding(monkeypatch):
+    # IRET_TOME is an equally documented enable path (docs/SERVING.md); the
+    # spatial guard must force the ratio off, not merely ignore the kwarg —
+    # otherwise the env value is resolved at trace time inside the
+    # sp-sharded program (the exact GSPMD hazard the guard exists for).
+    import jax
+
+    from image_restoration_and_enhancement_tpu.infer.pipeline import (
+        RestorationPipeline,
+    )
+    from image_restoration_and_enhancement_tpu.parallel import mesh as meshlib
+
+    monkeypatch.setenv("IRET_TOME", "0.5")
+    mesh = meshlib.make_mesh((1,), ("sp",), devices=jax.devices()[:1])
+    try:
+        RestorationPipeline(mesh=mesh, spatial_axis="sp")
+        assert tm.current_ratio() == 0.0
+    finally:
+        tm.set_tome(None)
+
+
 def test_sharded_dp_serving_with_tome(monkeypatch):
     # ToMe composes with data-parallel sharded serving: the merge indices
     # are per-image, so batch sharding stays collective-free. Sharded and

@@ -197,3 +197,27 @@ def test_non_main_process_writes_nothing(pair_root, tmp_path, monkeypatch):
     for base, _, files in os.walk(out_dir):
         written += [os.path.join(base, f) for f in files]
     assert written == [], written
+
+
+def test_setup_logging_replaces_previous_handler(tmp_path):
+    """Back-to-back runs in one process (e.g. VAE pretrain then train_task)
+    must not stack file handlers — stacking duplicates every later record
+    into every earlier run's log file."""
+    import logging
+
+    from image_restoration_and_enhancement_tpu.train.trainer import _setup_logging
+
+    root = logging.getLogger()
+    try:
+        _setup_logging(str(tmp_path / "a"), "vae")
+        _setup_logging(str(tmp_path / "b"), "denoise")
+        tagged = [h for h in root.handlers
+                  if getattr(h, "_iret_task_log", False)]
+        assert len(tagged) == 1
+        assert tagged[0].baseFilename.endswith(
+            os.path.join("b", "training_denoise.log"))
+    finally:
+        for h in [h for h in root.handlers
+                  if getattr(h, "_iret_task_log", False)]:
+            root.removeHandler(h)
+            h.close()

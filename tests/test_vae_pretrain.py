@@ -96,3 +96,39 @@ def test_train_task_vae_init_seeds_frozen_vae(vae_out, pair_root, tmp_path):
     assert len(got) == len(want)
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w))
+
+
+def test_vae_init_overwrites_stale_frozen_vae_in_best(vae_out, pair_root, tmp_path):
+    """A best/ left by a run WITHOUT --vae_init holds a random frozen VAE;
+    a later run WITH --vae_init trains the UNet against the seeded VAE and
+    its best-save must overwrite the stale one (skip_existing would
+    otherwise keep it, and serving best/ would decode through the wrong
+    VAE — silent garbage)."""
+    vae_dir, _ = vae_out
+    best = os.path.join(vae_dir, "best")
+    seeded_vae = ckpt.load_pipeline(best)["vae"]
+    out_dir = str(tmp_path / "out")
+    cfg = TrainConfig(
+        num_epochs=1, batch_size=2, gradient_accumulation_steps=1,
+        lambda_img=0.0, image_size=64, save_steps=-1,
+    )
+    # run 1: no vae_init -> best/vae is the random-init frozen VAE
+    train_task(
+        "denoise", data_root=pair_root, output_dir=out_dir, cfg=cfg,
+        use_mesh=False, dtype=jnp.float32, model_config=C.TINY_SD,
+    )
+    stale = jax.tree.leaves(ckpt.load_pipeline(os.path.join(out_dir, "best"))["vae"])
+    want = jax.tree.leaves(seeded_vae)
+    assert any(
+        not np.allclose(np.asarray(s), np.asarray(w))
+        for s, w in zip(stale, want)
+    )
+    # run 2: same output_dir, now seeded — best/vae must be the seeded one
+    train_task(
+        "denoise", data_root=pair_root, output_dir=out_dir, cfg=cfg,
+        vae_init=best, use_mesh=False, dtype=jnp.float32,
+        model_config=C.TINY_SD,
+    )
+    got = jax.tree.leaves(ckpt.load_pipeline(os.path.join(out_dir, "best"))["vae"])
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w))

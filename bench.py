@@ -31,7 +31,27 @@ A100_REFERENCE_IMG_PER_S = 0.55
 # expiry the process re-execs itself (same PID, fresh jax client + relay
 # connection) up to BENCH_MAX_RETRIES times, then exits non-zero — it
 # never prints a fabricated number.
-BENCH_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "3600") or 0)
+def _default_deadline_s() -> float:
+    """Scale the default deadline with the requested workload so a
+    legitimately long interactive run (large BENCH_ITERS/STEPS/SIZE) is not
+    silently restarted and failed by a deadline tuned for the default
+    workload (ADVICE r3 #4). The default workload (batch 8, 20 steps,
+    512px, 3 iters) keeps the historical 3600s budget — dominated by the
+    ~15 min remote compile + warmup, not the iters — and anything heavier
+    grows it proportionally to the extra device work."""
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    size = int(os.environ.get("BENCH_SIZE", "512"))
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    # device work scales ~ iters * steps * batch * size^2 (attention grows
+    # faster, but this is a deadline, not a model)
+    scale = (iters * steps * batch * size * size) / (3 * 20 * 8 * 512 * 512)
+    return 3600.0 * max(1.0, scale)
+
+
+BENCH_DEADLINE_S = float(
+    os.environ.get("BENCH_DEADLINE_S") or _default_deadline_s()
+)
 BENCH_MAX_RETRIES = int(os.environ.get("BENCH_MAX_RETRIES", "2"))
 
 

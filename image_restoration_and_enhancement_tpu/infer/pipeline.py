@@ -143,13 +143,16 @@ class RestorationPipeline:
                     "sharding (sharded token dim)")
             # Force OFF (not just ignore the kwarg): the IRET_TOME env var
             # is an equally documented enable path and would otherwise be
-            # resolved at trace time inside the sp-sharded program. The
-            # policy is process-global, like quant.
-            token_merge.set_tome(0.0)
+            # resolved at trace time inside the sp-sharded program. Scoped
+            # to THIS pipeline's traces via tome_mode in _run_sd — a
+            # sharded pipeline must not disable ToMe for other pipelines
+            # in the same process (ADVICE r3 #3).
+            self._tome_ratio: Optional[float] = 0.0
         elif tome_ratio:
-            from ..ops import token_merge
-
-            token_merge.set_tome(float(tome_ratio))
+            self._tome_ratio = float(tome_ratio)
+        else:
+            # None = defer to the IRET_TOME env var at trace time
+            self._tome_ratio = None
         # Serving quantization (beyond-reference): quant=None defers to the
         # IRET_QUANT env var; "int8" = dynamic w8a8 (ops/quant.py);
         # "int8_static" additionally needs quant_calib = a JSON from
@@ -406,14 +409,26 @@ class RestorationPipeline:
             steps, strength, gs, sampler,
         )
         rng = jax.random.PRNGKey(self.seed)
-        if mask_u8 is not None:
-            m = np.asarray(
-                Image.fromarray(mask_u8).resize((bw, bh), Image.NEAREST), np.float32
-            )
-            m = (m > 127).astype(np.float32)[None, :, :, None]
-            out = fn(stack["params"], x, jnp.asarray(m), ctx, uncond, rng)
+        # ToMe policy is trace-time; scope this pipeline's ratio to its own
+        # traces (first call traces the jitted fn; later calls reuse it).
+        # None leaves the process default / IRET_TOME env resolution intact.
+        if self._tome_ratio is not None:
+            from ..ops import token_merge
+
+            tome_ctx = token_merge.tome_mode(self._tome_ratio)
         else:
-            out = fn(stack["params"], x, ctx, uncond, rng)
+            import contextlib
+
+            tome_ctx = contextlib.nullcontext()
+        with tome_ctx:
+            if mask_u8 is not None:
+                m = np.asarray(
+                    Image.fromarray(mask_u8).resize((bw, bh), Image.NEAREST), np.float32
+                )
+                m = (m > 127).astype(np.float32)[None, :, :, None]
+                out = fn(stack["params"], x, jnp.asarray(m), ctx, uncond, rng)
+            else:
+                out = fn(stack["params"], x, ctx, uncond, rng)
         self._check_static_misses()
         out = np.asarray(out[0])
         out_u8 = ((out + 1.0) * 127.5).clip(0, 255).astype(np.uint8)

@@ -154,11 +154,22 @@ class InceptionV3Features(nn.Module):
 
 @functools.lru_cache(maxsize=1)
 def _inception_fn():
-    from ..core.checkpoint import load_params
-    from .perceptual import _INCEPTION_PATH
+    import os
 
-    params = load_params(_INCEPTION_PATH)
+    from ..core.checkpoint import load_params
+    from .perceptual import _INCEPTION_PATH, fid_random_init_ok
+
     model = InceptionV3Features()
+    if os.path.exists(_INCEPTION_PATH):
+        params = load_params(_INCEPTION_PATH)
+    elif fid_random_init_ok():
+        # weights-pending exercise mode: seeded random trunk so the full
+        # feature+Frechet path runs at eval scale (perceptual.fid docstring)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3), jnp.float32)
+        )["params"]
+    else:
+        raise RuntimeError("InceptionV3 weights not imported")
     return jax.jit(lambda x: model.apply({"params": params}, x))
 
 

@@ -126,6 +126,16 @@ def fid_available() -> bool:
     return os.path.exists(_INCEPTION_PATH)
 
 
+def fid_random_init_ok() -> bool:
+    """Opt-in: run the FULL FID path (InceptionV3 trunk + Frechet math) with
+    seeded random-init weights when the imported torchvision weights are
+    unavailable (air-gapped env). The resulting number is NOT a comparable
+    FID — it exercises the pipeline end to end at eval scale so the day the
+    weights import, the path is already proven (VERDICT r3 #7). Callers
+    must label the result as weights-pending."""
+    return os.environ.get("IRET_FID_RANDOM_INIT") == "1"
+
+
 def frechet_distance(
     mu1: np.ndarray, sigma1: np.ndarray, mu2: np.ndarray, sigma2: np.ndarray
 ) -> float:
@@ -145,8 +155,9 @@ def fid_from_features(feats1: np.ndarray, feats2: np.ndarray) -> float:
 
 
 def fid(preds: Sequence[np.ndarray], gts: Sequence[np.ndarray]) -> float:
-    """Dataset FID via InceptionV3 pool3 features (requires imported weights)."""
-    if not fid_available():
+    """Dataset FID via InceptionV3 pool3 features (requires imported weights,
+    or the explicit IRET_FID_RANDOM_INIT=1 weights-pending exercise mode)."""
+    if not fid_available() and not fid_random_init_ok():
         raise RuntimeError("InceptionV3 weights not imported; FID unavailable")
     from .inception import inception_features
 

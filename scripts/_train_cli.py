@@ -48,6 +48,16 @@ def build_parser(task: str, default_output: str) -> argparse.ArgumentParser:
                         "epochs; the final epoch is always saved. 0 = final "
                         "only, -1 = never (weights-only throwaway runs on "
                         "slow disk). The state is ~3.2GiB for the 860M UNet.")
+    p.add_argument("--val_strength", type=float, default=None,
+                   help="Override the task's validation sampler strength "
+                        "(e.g. 0.1 for the hard-degradation runs: the "
+                        "demo-measured serving point where output PSNR "
+                        "beats the degraded input, docs/artifacts/"
+                        "demo_learning_v2)")
+    p.add_argument("--val_steps", type=int, default=None,
+                   help="Override the task's validation sampler step count")
+    p.add_argument("--val_guidance", type=float, default=None,
+                   help="Override the task's validation guidance scale")
     p.add_argument("--base_model", default="sd15",
                    choices=["sd15", "sdxl", "tiny_sd", "tiny_sdxl"],
                    help="Model stack to fine-tune (reference --base_model, "
@@ -72,6 +82,25 @@ def run(task: str, default_output: str) -> None:
 
     from image_restoration_and_enhancement_tpu.train.loop import TrainConfig
     from image_restoration_and_enhancement_tpu.train.trainer import train_task
+
+    task_spec = None
+    if any(v is not None for v in (args.val_strength, args.val_steps,
+                                   args.val_guidance)):
+        import dataclasses
+
+        from image_restoration_and_enhancement_tpu.tasks.registry import get_task
+
+        spec = get_task(task)
+        vs = spec.val_sampler or spec.sampler
+        vs = dataclasses.replace(
+            vs,
+            strength=vs.strength if args.val_strength is None else args.val_strength,
+            num_inference_steps=(vs.num_inference_steps if args.val_steps is None
+                                 else args.val_steps),
+            guidance_scale=(vs.guidance_scale if args.val_guidance is None
+                            else args.val_guidance),
+        )
+        task_spec = dataclasses.replace(spec, val_sampler=vs)
 
     cfg = TrainConfig(
         num_epochs=args.num_epochs,
@@ -98,5 +127,6 @@ def run(task: str, default_output: str) -> None:
         use_mesh=not args.no_mesh,
         resume=args.resume,
         model_config=resolve_model_config(args.base_model, task),
+        task_spec=task_spec,
     )
     print({k: round(v, 4) for k, v in metrics.items()})

@@ -52,12 +52,11 @@ _CALIB_DONE: set = set()
 
 def run(modules, params, ctx, un, x, steps, strength, gs, sampler, mode,
         cfg_cache=1, attn_int8_min=0, tome=0.0):
-    # attention-quantization knob is trace-time (ops/attention.py dispatch):
-    # set it only around the quantized runs so the bf16 reference stays exact
-    if attn_int8_min:
-        os.environ["IRET_ATTN_XLA_INT8_MIN"] = str(attn_int8_min)
-    else:
-        os.environ.pop("IRET_ATTN_XLA_INT8_MIN", None)
+    # calibration first, with the attention-quant knob UNSET: the static
+    # table is cached per (sampler settings, shape) key and reused across
+    # every mode of one gate, so an attn_int8_min from the first quantized
+    # run must never silently bake into it (ADVICE r3 #2)
+    os.environ.pop("IRET_ATTN_XLA_INT8_MIN", None)
     if mode == "int8_static":
         # calibrate on the same inputs (one dynamic-int8 pass), then trace
         # the serving fn with the scales baked in as constants. The scales
@@ -72,6 +71,11 @@ def run(modules, params, ctx, un, x, steps, strength, gs, sampler, mode,
             _, stats = calib(params, x, ctx, un, jax.random.PRNGKey(42))
             quant.load_static_table({k: float(v) for k, v in stats.items()})
             _CALIB_DONE.add(ck)
+    # attention-quantization knob is trace-time (ops/attention.py dispatch):
+    # set it only around the quantized serving run so the bf16 reference
+    # (and the calibration above) stays exact
+    if attn_int8_min:
+        os.environ["IRET_ATTN_XLA_INT8_MIN"] = str(attn_int8_min)
     with quant.quant_mode(mode), token_merge.tome_mode(tome or None):
         fn = sampling.make_img2img_fn(modules, steps, strength, gs, sampler,
                                       cfg_cache_interval=cfg_cache)

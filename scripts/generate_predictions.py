@@ -41,6 +41,11 @@ def main():
                         "(required for int8_static)")
     p.add_argument("--cfg_cache", type=int, default=1)
     p.add_argument("--tome", type=float, default=0.0)
+    p.add_argument("--denoise_strength", type=float, default=0.5,
+                   help="Serving strength for the denoise task (reference "
+                        "default 0.5, src/inference.py:486-494; the hard-"
+                        "degradation runs serve at <=0.15 — the measured "
+                        "restoration point, docs/artifacts/demo_learning_v2)")
     args = p.parse_args()
 
     mesh_kwargs = {}
@@ -75,7 +80,7 @@ def main():
         print(f"[{task}] {len(names)} images")
         for name in names:
             img = Image.open(os.path.join(in_dir, name)).convert("RGB")
-            kwargs = {}
+            kwargs = {"denoise_strength": args.denoise_strength}
             if spec.uses_mask:
                 mpath = os.path.join(mask_dir, name)
                 if os.path.exists(mpath):

@@ -43,7 +43,8 @@ def process_split(clean_dir, out_root, split, args):
         stem = os.path.splitext(name)[0]
 
         if "denoise" in args.tasks:
-            noisy = hd.degrade_denoise(rng, img, args.denoise_with_artifacts)
+            noisy = hd.degrade_denoise(rng, img, args.denoise_with_artifacts,
+                                       tuple(args.denoise_sigma))
             Image.fromarray(noisy).save(os.path.join(outdir("denoise", "input"), name))
             Image.fromarray(img).save(os.path.join(outdir("denoise", "gt"), name))
 
@@ -78,6 +79,11 @@ def main():
     p.add_argument("--max_size", type=int, default=1024)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--denoise_with_artifacts", action="store_true")
+    p.add_argument("--denoise_sigma", type=float, nargs=2, default=[5.0, 8.0],
+                   metavar=("MIN", "MAX"),
+                   help="Gaussian noise sigma range for the denoise family "
+                        "(reference [5,8]; >=40 = the hard family whose "
+                        "do-nothing baseline is actually beatable)")
     p.add_argument("--sr_with_jpeg", action="store_true")
     p.add_argument("--sr_with_motion_blur", action="store_true")
     p.add_argument("--inpaint_easy_ratio", type=float, default=0.7)

@@ -168,7 +168,10 @@ bench_item() {
   if [ "$rem" -lt "$need" ]; then
     echo "--- skip bench $label: ${rem}s left" >> "$OUT"; return
   fi
-  if grep -q "^--- $label start" "$OUT" 2>/dev/null; then
+  # skip only on a COMPLETED (exit=0) prior measurement: a bare start
+  # marker can be a timed-out/crashed attempt from an earlier session and
+  # must be retried (ADVICE r3 #1; matches run_after_wf5.sh semantics)
+  if grep -q "^--- $label exit=0" "$OUT" 2>/dev/null; then
     echo "--- $label already measured, skipping" >> "$OUT"; return
   fi
   rm -f "$STALL_MARK"

@@ -140,11 +140,14 @@ def test_pipeline_tome_kwarg():
         RestorationPipeline,
     )
 
-    try:
-        RestorationPipeline(tome_ratio=0.25)
+    # The ratio is scoped to THIS pipeline's traces (ADVICE r3 #3: the old
+    # process-global set_tome at construction leaked into every other
+    # pipeline's traces); construction must NOT mutate the global policy.
+    p = RestorationPipeline(tome_ratio=0.25)
+    assert p._tome_ratio == 0.25
+    assert tm.current_ratio() == 0.0  # global untouched
+    with tm.tome_mode(p._tome_ratio):  # what _run_sd wraps traces in
         assert tm.current_ratio() == 0.25
-    finally:
-        tm.set_tome(None)
 
 
 def test_pipeline_tome_ignored_under_spatial_sharding():
@@ -156,18 +159,19 @@ def test_pipeline_tome_ignored_under_spatial_sharding():
     from image_restoration_and_enhancement_tpu.parallel import mesh as meshlib
 
     mesh = meshlib.make_mesh((1,), ("sp",), devices=jax.devices()[:1])
-    try:
-        RestorationPipeline(tome_ratio=0.25, mesh=mesh, spatial_axis="sp")
-        assert tm.current_ratio() == 0.0  # guarded off, not silently wrong
-    finally:
-        tm.set_tome(None)
+    p = RestorationPipeline(tome_ratio=0.25, mesh=mesh, spatial_axis="sp")
+    assert p._tome_ratio == 0.0  # guarded off, not silently wrong
+    with tm.tome_mode(p._tome_ratio):
+        assert tm.current_ratio() == 0.0
 
 
 def test_pipeline_tome_env_var_also_guarded_under_spatial_sharding(monkeypatch):
     # IRET_TOME is an equally documented enable path (docs/SERVING.md); the
-    # spatial guard must force the ratio off, not merely ignore the kwarg —
+    # spatial guard must force the ratio off for THIS pipeline's traces —
     # otherwise the env value is resolved at trace time inside the
     # sp-sharded program (the exact GSPMD hazard the guard exists for).
+    # It must NOT disable ToMe process-globally: another (non-sharded)
+    # pipeline in the same process keeps its env-enabled ratio (ADVICE r3).
     import jax
 
     from image_restoration_and_enhancement_tpu.infer.pipeline import (
@@ -177,11 +181,14 @@ def test_pipeline_tome_env_var_also_guarded_under_spatial_sharding(monkeypatch):
 
     monkeypatch.setenv("IRET_TOME", "0.5")
     mesh = meshlib.make_mesh((1,), ("sp",), devices=jax.devices()[:1])
-    try:
-        RestorationPipeline(mesh=mesh, spatial_axis="sp")
+    p = RestorationPipeline(mesh=mesh, spatial_axis="sp")
+    assert p._tome_ratio == 0.0
+    with tm.tome_mode(p._tome_ratio):
         assert tm.current_ratio() == 0.0
-    finally:
-        tm.set_tome(None)
+    # the global env-resolved policy survives the sharded construction
+    assert tm.current_ratio() == 0.5
+    other = RestorationPipeline()
+    assert other._tome_ratio is None  # defers to the env at trace time
 
 
 def test_sharded_dp_serving_with_tome(monkeypatch):

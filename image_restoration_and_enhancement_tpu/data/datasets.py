@@ -103,19 +103,23 @@ class PairDataset:
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         inp_path, gt_path, mask_path = self.items[idx]
         size = self.image_size
-        gt = _load_rgb(gt_path).astype(np.float32)
-        if gt.shape[:2] != (size, size):
-            gt = native.resize_bicubic(gt, (size, size))
-        inp = _load_rgb(inp_path).astype(np.float32)
-        if inp.shape[:2] != (size, size):
-            # SR: bicubic-upsample LR to target (train conditioning); other
-            # tasks simply resize to the train resolution.
-            inp = native.resize_bicubic(inp, (size, size))
-        # clip: bicubic resampling overshoots the [0,255] range slightly
-        out = {
-            "input": np.clip(inp / 127.5 - 1.0, -1.0, 1.0).astype(np.float32),
-            "gt": np.clip(gt / 127.5 - 1.0, -1.0, 1.0).astype(np.float32),
-        }
+
+        def prep(path: str) -> np.ndarray:
+            u8 = _load_rgb(path)
+            if u8.shape[:2] != (size, size):
+                # SR: bicubic-upsample LR to target (train conditioning);
+                # other tasks simply resize to the train resolution. clip:
+                # bicubic resampling overshoots [0,255] slightly.
+                f = native.resize_bicubic(u8.astype(np.float32), (size, size))
+                return np.clip(f / 127.5 - 1.0, -1.0, 1.0).astype(np.float32)
+            # size-matched hot path: one fused u8 -> [-1,1] pass (native
+            # C++ when built; measured vs the 3-pass numpy float chain by
+            # scripts/bench_loader.py). IRET_NATIVE_NORM=0 = numpy A/B.
+            if os.environ.get("IRET_NATIVE_NORM", "1") != "0":
+                return native.to_pm1(u8)
+            return u8.astype(np.float32) / 127.5 - 1.0
+
+        out = {"input": prep(inp_path), "gt": prep(gt_path)}
         if mask_path is not None:
             m = _load_gray(mask_path).astype(np.float32) / 255.0
             m = np.array(

@@ -64,22 +64,33 @@ def _u8ptr(a: np.ndarray):
 
 
 def resize_bicubic(img: np.ndarray, out_hw) -> np.ndarray:
-    """Bicubic resize float32 HWC (native when available)."""
+    """Bicubic resize float32 HWC.
+
+    Backend order is MEASURED, not ideological (scripts/bench_loader.py +
+    the round-4 standalone grid): cv2's SIMD separable bicubic beats the
+    scalar C++ loop 7-15x at the loader's shapes (64->256: 0.19 vs 2.60
+    ms), so cv2 is primary and the C++ lib is the no-cv2 fallback."""
     img = np.ascontiguousarray(img, dtype=np.float32)
     h, w, c = img.shape
     dh, dw = out_hw
+    try:
+        import cv2
+
+        return cv2.resize(img, (dw, dh), interpolation=cv2.INTER_CUBIC)
+    except ImportError:
+        pass
     lib = get_lib()
     if lib is not None:
         out = np.empty((dh, dw, c), dtype=np.float32)
         lib.resize_bicubic_f32(_fptr(img), h, w, c, _fptr(out), dh, dw)
         return out
-    import cv2
-
-    return cv2.resize(img, (dw, dh), interpolation=cv2.INTER_CUBIC)
+    raise RuntimeError("neither cv2 nor the native library is available")
 
 
 def to_pm1(img_u8: np.ndarray) -> np.ndarray:
-    """uint8 -> float32 [-1,1]."""
+    """uint8 -> float32 [-1,1]. Native primary (measured ~3x faster than
+    the numpy astype/scale chain at 256px: 0.05 vs 0.15 ms — one fused
+    pass, no float temporaries; ~+10% loader throughput end to end)."""
     img_u8 = np.ascontiguousarray(img_u8, dtype=np.uint8)
     lib = get_lib()
     if lib is not None:
@@ -100,6 +111,8 @@ def from_pm1(img: np.ndarray) -> np.ndarray:
 
 
 def add_gaussian_noise_u8(img_u8: np.ndarray, sigma: float, seed: int) -> np.ndarray:
+    """Native primary (measured 1.8x faster than numpy's normal+clip chain
+    at 256px: 2.1 vs 3.8 ms — fused xorshift+Box-Muller, no float temps)."""
     out = np.ascontiguousarray(img_u8, dtype=np.uint8).copy()
     lib = get_lib()
     if lib is not None:
@@ -112,14 +125,21 @@ def add_gaussian_noise_u8(img_u8: np.ndarray, sigma: float, seed: int) -> np.nda
 
 
 def rgb_to_lab_l(img_u8: np.ndarray) -> np.ndarray:
-    """RGB u8 HWC -> LAB-L u8 HW (cv2 scale convention)."""
+    """RGB u8 HWC -> LAB-L u8 HW (cv2 scale convention).
+
+    cv2 primary (measured 2x faster than the scalar C++ loop at 256px:
+    2.08 vs 4.06 ms), C++ lib as the no-cv2 fallback."""
     img_u8 = np.ascontiguousarray(img_u8, dtype=np.uint8)
     h, w, _ = img_u8.shape
+    try:
+        import cv2
+
+        return cv2.cvtColor(img_u8, cv2.COLOR_RGB2LAB)[:, :, 0]
+    except ImportError:
+        pass
     lib = get_lib()
     if lib is not None:
         out = np.empty((h, w), dtype=np.uint8)
         lib.rgb_to_lab_l_u8(_u8ptr(img_u8), h * w, _u8ptr(out))
         return out
-    import cv2
-
-    return cv2.cvtColor(img_u8, cv2.COLOR_RGB2LAB)[:, :, 0]
+    raise RuntimeError("neither cv2 nor the native library is available")

@@ -45,11 +45,22 @@ state() {
 }
 
 sync_artifacts() {
-  for d in denoising super_resolution colorization inpainting; do
+  # Every round-4 run is post-reset: denoise/sr/inpaint retrains are
+  # checkpoint restores (not the committed run-1 curves) -> sync under
+  # _run2 names; colorize round-4 IS a full fresh 10-epoch run -> _run3
+  # (runs 1: 6 ep, 2: 5 ep stay on the books); vae -> _run3 (v4 16ep +
+  # v5/v6 10ep committed). Copy STRAIGHT to the suffixed name — never
+  # through the unsuffixed path, which would clobber the committed
+  # run-1 files.
+  for p in "denoising:denoise:_run2" "super_resolution:sr_x4:_run2" \
+           "inpainting:inpaint:_run2" "colorization:colorize:_run3"; do
+    d="${p%%:*}"; r="${p##*:}"; t="${p#*:}"; t="${t%%:*}"
     src="outputs/models/$d"
     [ -d "$src" ] || continue
-    cp "$src"/metrics_*.csv "$ART/" 2>/dev/null
-    cp "$src"/training_*.log "$ART/" 2>/dev/null
+    [ -f "$src/metrics_${t}.csv" ] && \
+      cp "$src/metrics_${t}.csv" "$ART/metrics_${t}${r}.csv" 2>/dev/null
+    [ -f "$src/training_${t}.log" ] && \
+      cp "$src/training_${t}.log" "$ART/training_${t}${r}.log" 2>/dev/null
     if [ -d "$src/val_samples" ]; then
       mkdir -p "$ART/val_samples_$d"
       ls "$src/val_samples/" | sort -V | sed -n '1p;$p' | while read -r f; do
@@ -57,15 +68,9 @@ sync_artifacts() {
       done
     fi
   done
-  # round-4 denoise/sr retrains are checkpoint restores, not the run-1
-  # curves: keep them under _run2 names (docs/WORKFLOW.md "Two runs")
-  for p in "denoising:denoise" "super_resolution:sr_x4"; do
-    d="${p%%:*}"; t="${p##*:}"
-    [ -f "outputs/models/$d/metrics_${t}.csv" ] && \
-      mv -f "$ART/metrics_${t}.csv" "$ART/metrics_${t}_run2.csv" 2>/dev/null
-    [ -f "outputs/models/$d/training_${t}.log" ] && \
-      mv -f "$ART/training_${t}.log" "$ART/training_${t}_run2.log" 2>/dev/null
-  done
+  [ -f outputs/models/vae_pretrained/metrics_vae.csv ] && \
+    cp outputs/models/vae_pretrained/metrics_vae.csv \
+      "$ART/metrics_vae_run3.csv" 2>/dev/null
   cp outputs/evaluation_results.json "$ART/" 2>/dev/null
   # hard-family artifacts (measured-restoration run)
   if [ -d outputs/models_hard/denoising ]; then
@@ -205,12 +210,48 @@ while [ "$(left)" -gt 3600 ]; do
   sleep 180
 done
 
+# ---- 0a. datagen (the VM reset wiped the gitignored data/clean +
+#          data/pairs; the session arms this before launching the chain
+#          but self-heal here too). Block until done — every later stage
+#          reads data/pairs.
+if ! grep -q DATAGEN_DONE /tmp/datagen.log 2>/dev/null; then
+  if [ ! -f /tmp/datagen.pid ] || ! kill -0 "$(cat /tmp/datagen.pid)" 2>/dev/null; then
+    echo "--- datagen missing; regenerating inline" >> "$LOG"
+    state "datagen"
+    (python scripts/make_procedural_clean.py --out_root data/clean \
+      && python scripts/make_synthetic_pairs.py --clean_root data/clean \
+        --out_root data/pairs && echo DATAGEN_DONE >> /tmp/datagen.log) \
+      >> /tmp/datagen.log 2>&1 &
+    echo $! > /tmp/datagen.pid
+  fi
+  state "datagen_wait"
+  while ! grep -q DATAGEN_DONE /tmp/datagen.log 2>/dev/null; do
+    kill -0 "$(cat /tmp/datagen.pid)" 2>/dev/null || break
+    sleep 30
+  done
+  grep -q DATAGEN_DONE /tmp/datagen.log 2>/dev/null \
+    || { echo "--- FATAL: datagen failed" >> "$LOG"; exit 1; }
+fi
+
+# ---- 0b. VAE pretrain (reset wiped it; every task trainer seeds its
+#          frozen VAE from this — without it val PSNR pins at
+#          decode-noise level)
+if [ ! -f outputs/models/vae_pretrained/best/model_index.json ]; then
+  run_item vae_pretrain 2400 5400 python scripts/pretrain_vae.py \
+    --num_epochs 8 --output_dir outputs/models/vae_pretrained
+  commit_artifacts "round4: VAE pretrain (8 ep, reset recovery)"
+fi
+if [ ! -f outputs/models/vae_pretrained/best/model_index.json ]; then
+  echo "--- WARNING: no pretrained VAE; random frozen VAE" >> "$LOG"
+  VAE_INIT=""
+fi
+
 # ---- 1. denoise retrain: restores the eval checkpoint AND provides the
 #         fresh checkpoint for the gates (VERDICT #1 + weak #5)
 if [ ! -f outputs/models/denoising/best/model_index.json ]; then
   run_item retrain_denoise 2400 5400 python scripts/train_denoising.py \
-    $RETRAIN_ARGS --num_epochs 4 $VAE_INIT
-  commit_artifacts "round4: denoise retrain (4 ep, checkpoint restore)"
+    $RETRAIN_ARGS --num_epochs 3 $VAE_INIT
+  commit_artifacts "round4: denoise retrain (3 ep, checkpoint restore)"
 fi
 
 # ---- 2. fresh-checkpoint quality gates: int8_static + turbo k2 + ToMe 0.5
@@ -229,14 +270,25 @@ bench_item bench_turbo_k3 800 BENCH_CFG_CACHE=3
 # ---- 4. sr retrain (checkpoint restore for the 4-task eval)
 if [ ! -f outputs/models/super_resolution/best/model_index.json ]; then
   run_item retrain_sr 2400 5400 python scripts/train_super_resolution.py \
-    $RETRAIN_ARGS --num_epochs 3 $VAE_INIT
-  commit_artifacts "round4: sr_x4 retrain (3 ep, checkpoint restore)"
+    $RETRAIN_ARGS --num_epochs 2 $VAE_INIT
+  commit_artifacts "round4: sr_x4 retrain (2 ep, checkpoint restore)"
 fi
 
-# ---- 5. colorize: resume from train_state/1250 (epoch 5) to 10/10
-run_item resume_colorize 3000 7200 python scripts/train_colorization.py \
+# ---- 5. colorize: the reset took the resumable state@1250 with it, so
+#         this is the full 10-epoch run the judge asked for, from scratch
+#         (--resume is a no-op with no state and protects against a
+#         mid-chain VM bounce via state_save_epochs 5)
+run_item train_colorize 3000 9000 python scripts/train_colorization.py \
   $RESUME_ARGS $VAE_INIT
-commit_artifacts "round4: colorize resumed to full 10-epoch curve"
+commit_artifacts "round4: colorize full 10-epoch curve (run 3, from scratch)"
+
+# ---- 5b. inpaint retrain (reset wiped the v6 checkpoint; the 10/10
+#          curve is committed — this restores a servable best/ for eval)
+if [ ! -f outputs/models/inpainting/best/model_index.json ]; then
+  run_item retrain_inpaint 2400 5400 python scripts/train_inpainting.py \
+    $RETRAIN_ARGS --num_epochs 2 $VAE_INIT
+  commit_artifacts "round4: inpaint retrain (2 ep, checkpoint restore)"
+fi
 
 # ---- 6-7. predictions + FAIL-LOUD evaluation for ALL four tasks
 run_item predict_all 2400 7200 python scripts/generate_predictions.py \
@@ -256,16 +308,18 @@ commit_artifacts "round4: 4-task predictions + evaluation (fail-loud, input base
 #         general-purpose SD VAE (the demo's --vae_data mixed finding at
 #         full scale). (b) the 860M UNet fine-tuned on the hard pairs
 #         against that frozen VAE.
-grep -q "^done\.$" /tmp/datagen_hard.log 2>/dev/null || \
-  echo "--- WARNING: hard datagen incomplete" >> "$LOG"
+# (the hard pairs + mixed-VAE data are committed in git, so they
+# survived the VM reset — no datagen needed here)
+[ -d data/pairs_hard/denoise/train/input ] || \
+  echo "--- WARNING: hard pairs missing" >> "$LOG"
 if [ ! -f outputs/models_hard/vae_mixed/best/model_index.json ]; then
   run_item vae_mixed 2400 5400 python scripts/pretrain_vae.py \
-    --data_root data/vae_mixed_hard --num_epochs 8 \
+    --data_root data/vae_mixed_hard --num_epochs 5 \
     --output_dir outputs/models_hard/vae_mixed
 fi
 run_item train_hard 3600 9000 python scripts/train_denoising.py \
   --data_root data/pairs_hard --output_dir outputs/models_hard/denoising \
-  --num_epochs 10 $RETRAIN_ARGS \
+  --num_epochs 8 $RETRAIN_ARGS \
   --vae_init outputs/models_hard/vae_mixed/best
 commit_artifacts "round4: hard-family denoise training artifacts"
 
@@ -274,7 +328,7 @@ commit_artifacts "round4: hard-family denoise training artifacts"
 #         do-nothing input baseline alongside
 if [ -f outputs/models_hard/denoising/best/model_index.json ]; then
   mkdir -p outputs/pred_hard_sweep
-  for s in 0.1 0.2 0.3 0.45; do
+  for s in 0.1 0.2 0.35; do
     run_item hard_sweep_$s 1200 3600 python scripts/generate_predictions.py \
       --data_root data/pairs_hard --models_root outputs/models_hard \
       --tasks denoise --split val --max_images 16 --denoise_strength $s \
@@ -310,7 +364,9 @@ EOF
 fi
 
 # ---- 10. XLA flag sweep (BENCH_XLA_OPTS mechanism; env XLA_FLAGS is
-#          fatal through the relay, bench.py comments)
+#          fatal through the relay, bench.py comments). Trimmed to the
+#          five most promising after the reset cost the chain ~2h of
+#          rebuild stages.
 bench_item base_ctl 800 BENCH_DUMMY=1
 bench_item fastq 800 \
   BENCH_XLA_OPTS=xla_tpu_experimental_allow_fast_quantization_conversions=true
@@ -318,11 +374,6 @@ bench_item vmem64m 800 BENCH_XLA_OPTS=xla_tpu_scoped_vmem_limit_kib=65536
 bench_item autotune 800 BENCH_XLA_OPTS=xla_tpu_autotune_dots=true
 bench_item aggrfuse 800 \
   BENCH_XLA_OPTS=xla_tpu_enable_aggressive_loop_fusion_layout_opt=true
-bench_item convdc 800 \
-  BENCH_XLA_OPTS=xla_tpu_allow_conv_input_fusion_with_downcast_convert=true
-bench_item fcost 800 \
-  BENCH_XLA_OPTS=xla_tpu_enable_experimental_fusion_cost_model=true
-bench_item vmem32m 800 BENCH_XLA_OPTS=xla_tpu_scoped_vmem_limit_kib=32768
 
 # ---- 11. second-tier gates
 if [ -d outputs/models/denoising/best ]; then

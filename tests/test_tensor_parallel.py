@@ -358,3 +358,93 @@ def test_sharded_img2img_sdxl_dp_sp():
                                       cfg_layout="interleaved")
     ref = ref_fn(params, image, ctx, ctx, key)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_gspmd_conv_miscompile_boundary_pinned():
+    """Pin the GSPMD wrong-values boundary that MIN_ROWS_PER_SHARD guards.
+
+    parallel/spatial.py's whole reason to exist is that XLA's SPMD
+    partitioner silently produces wrong values (not an error) for a conv
+    whose height shard holds fewer rows than the window needs. This test
+    pins that boundary itself: (a) the ungated geometry (3x3 stride-1
+    pad-1 conv, H=2 over sp=2 -> 1 row/shard; the module docstring's
+    measured case, re-probed 2026-08: max abs err 5.26) reproduces a
+    LARGE error vs the unsharded program, and (b) the policy at
+    min_rows=4 pins the same geometry batch-only and is bit-exact. If
+    (a) stops reproducing after a jax upgrade the test SKIPS with a
+    pointer to re-evaluate the gate, rather than failing."""
+    from image_restoration_and_enhancement_tpu.parallel import spatial as sp
+
+    mesh = meshlib.make_mesh((4, 2), ("data", "sp"))
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 2, 8, 8))
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 8, 8)) * 0.1
+
+    def conv(t):
+        return jax.lax.conv_general_dilated(
+            t, w, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    ref = jax.jit(conv)(x)
+    x_dp = jax.device_put(x, NamedSharding(mesh, P("data")))
+
+    def conv_forced(t):
+        t = jax.lax.with_sharding_constraint(
+            t, NamedSharding(mesh, P("data", "sp")))
+        return conv(t)
+
+    bad = jax.jit(conv_forced)(x_dp)
+    err = float(jnp.max(jnp.abs(bad - ref)))
+    if err < 1e-5:
+        pytest.skip(
+            "GSPMD halo-exchange miscompile no longer reproduces on this "
+            "jax — re-evaluate MIN_ROWS_PER_SHARD (parallel/spatial.py)")
+    assert err > 1e-3, f"boundary error regime changed: {err}"
+
+    with sp.spatial_sharding(mesh, "data", "sp", min_rows=4):
+        def conv_gated(t):
+            t = sp.constrain(t)
+            return conv(t)
+        good = jax.jit(conv_gated)(x_dp)
+    np.testing.assert_array_equal(np.asarray(good), np.asarray(ref))
+
+
+def test_sharded_img2img_serving_dp_sp4_gate_boundary():
+    """sp=4 serving — the geometry where the gate does real work at every
+    level below the top: 128px -> TINY_UNET latent levels 16/8/4/2; at
+    sp=4 only level 16 shards (exactly min_rows=4 rows/shard, the
+    boundary), and 8/4/2 ALL cross into the miscompile regime (2, 1, and
+    non-divisible rows/shard) and must be pinned batch-only. Decision
+    asserts + output parity with the unsharded program prove the gate
+    catches each of them."""
+    from image_restoration_and_enhancement_tpu.parallel import spatial as sp
+
+    mesh = meshlib.make_mesh((2, 4), ("data", "sp"))
+
+    # (a) the gating decisions at sp=4, asserted level by level
+    with sp.spatial_sharding(mesh, "data", "sp", min_rows=4):
+        for h, expect_sp in [(16, True), (8, False), (4, False), (2, False)]:
+            y = jax.jit(sp.constrain)(jax.device_put(
+                jnp.zeros((2, h, 8, 8)), NamedSharding(mesh, P("data"))))
+            spec = y.sharding.spec
+            got_sp = len(spec) > 1 and spec[1] == "sp"
+            assert got_sp == expect_sp, (h, spec)
+
+    # (b) end-to-end parity through the sharded sampler
+    modules = sampling.SDModules.create(C.TINY_SD, dtype=jnp.float32,
+                                        attention_backend="xla")
+    params = sampling.init_params(modules, jax.random.PRNGKey(0),
+                                  image_size=128)
+    key = jax.random.PRNGKey(9)
+    image = jax.random.uniform(key, (2, 128, 128, 3), minval=-1.0, maxval=1.0)
+    ctx = sampling.encode_text(modules, params, jnp.zeros((2, 77), jnp.int32))
+
+    fn, shard_params = sampling.make_sharded_img2img_fn(
+        modules, mesh, num_inference_steps=2, strength=0.8,
+        guidance_scale=5.0, sampler="ddim", spatial_axis="sp",
+    )
+    out = fn(shard_params(params), image, ctx, ctx, key)
+    assert out.shape == (2, 128, 128, 3)
+
+    ref_fn = sampling.make_img2img_fn(modules, 2, 0.8, 5.0, sampler="ddim")
+    ref = ref_fn(params, image, ctx, ctx, key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)

@@ -50,7 +50,9 @@ def find_file(name, roots):
 def summarize(art_root: str, models_root: str, eval_json: str) -> str:
     lines = []
     for vname, vlabel in [("metrics_vae.csv", "VAE pretrain (stage 0)"),
-                          ("metrics_vae_run2.csv", "VAE pretrain (run 2)")]:
+                          ("metrics_vae_run2.csv", "VAE pretrain (run 2)"),
+                          ("metrics_vae_run3.csv",
+                           "VAE pretrain (run 3, post-reset)")]:
         vae_csv = find_file(vname,
                             [art_root, os.path.join(models_root, "vae_pretrained")])
         if not vae_csv:
@@ -79,11 +81,14 @@ def summarize(art_root: str, models_root: str, eval_json: str) -> str:
     for t, (model_dir, csv_name, log_name) in TASKS.items():
         base, ext = os.path.splitext(csv_name)
         lbase, lext = os.path.splitext(log_name)
-        if find_file(f"{base}_run2{ext}", [art_root]):
-            task_rows.append(
-                (f"{t} (run-2 retrain)",
-                 (model_dir, f"{base}_run2{ext}", f"{lbase}_run2{lext}"),
-                 "_run2"))
+        for suffix, label in (("_run2", "run-2 retrain"),
+                              ("_run3", "run-3 full rerun")):
+            if find_file(f"{base}{suffix}{ext}", [art_root]):
+                task_rows.append(
+                    (f"{t} ({label})",
+                     (model_dir, f"{base}{suffix}{ext}",
+                      f"{lbase}{suffix}{lext}"),
+                     suffix))
     for task, (model_dir, csv_name, log_name), _suffix in task_rows:
         roots = [art_root, os.path.join(models_root, model_dir)]
         cpath = find_file(csv_name, roots)

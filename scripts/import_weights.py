@@ -76,7 +76,26 @@ def _load_torch_file(path: str):
 
 
 def import_sd_dir(src: str, dst: str, config) -> None:
+    import dataclasses
+
     from image_restoration_and_enhancement_tpu.core import checkpoint as ckpt
+
+    # the source pipeline's scheduler config wins over our defaults: a
+    # diffusers checkpoint trained with e.g. different betas/prediction_type
+    # must serve with THOSE values (the reference inherits them implicitly
+    # via from_pretrained; /root/reference/src/inference.py:139-197)
+    sched_path = os.path.join(src, "scheduler", "scheduler_config.json")
+    if os.path.exists(sched_path):
+        with open(sched_path) as f:
+            sc = json.load(f)
+        fields = {f.name for f in dataclasses.fields(type(config.scheduler))}
+        overrides = {k: v for k, v in sc.items() if k in fields}
+        if overrides:
+            config = dataclasses.replace(
+                config,
+                scheduler=dataclasses.replace(config.scheduler, **overrides),
+            )
+            print(f"scheduler config from {sched_path}: {overrides}")
 
     params = ckpt.import_hf_pipeline(src)
     ckpt.save_pipeline(dst, params, config)
@@ -89,6 +108,166 @@ def import_sd_dir(src: str, dst: str, config) -> None:
                 break
     print(f"imported SD pipeline {src} -> {dst} "
           f"(components: {sorted(params)})")
+
+
+_REHEARSAL_MERGES = [
+    ("t", "h"), ("th", "e</w>"), ("i", "n"), ("r", "e"), ("o", "n"),
+    ("a", "n"), ("e", "r"), ("s", "t"), ("e", "n"), ("o", "r"),
+    ("a", "l"), ("d", "e"), ("de", "n"), ("den", "o"), ("deno", "i"),
+    ("denoi", "s"), ("denois", "e</w>"), ("i", "m"), ("im", "a"),
+    ("ima", "g"), ("imag", "e</w>"), ("c", "o"), ("co", "l"),
+    ("col", "or"), ("q", "u"), ("qu", "al"), ("i", "t"), ("it", "y</w>"),
+    ("h", "i"), ("hi", "g"), ("hig", "h</w>"), ("r", "es"),
+    ("e", "s"), ("o", "t"), ("ot", "o</w>"), ("p", "h"), ("ph", "ot"),
+]
+
+
+def build_bpe_assets(tokdir: str, vocab_size=None) -> int:
+    """Write CLIP-shaped BPE assets (vocab.json + merges.txt) to tokdir:
+    the 256 byte-unicode symbols, their </w> forms, a merge table that
+    fires on the task prompts, optional <extra_N> padding up to exactly
+    `vocab_size`, and the CLIP special tokens LAST (eos is the largest
+    id, matching the real CLIP vocab layout — our pooling semantics and
+    transformers' legacy-pooling carve-out both depend on that; see
+    tests/test_cross_framework.py). Returns the final vocab size."""
+    from image_restoration_and_enhancement_tpu.models import tokenizer as tok
+
+    b2u = tok._bytes_to_unicode()
+    base = [b2u[i] for i in sorted(b2u)]
+    vocab = {}
+    for s in base:
+        vocab[s] = len(vocab)
+    for s in base:
+        vocab[s + "</w>"] = len(vocab)
+    for a, b in _REHEARSAL_MERGES:
+        m = a + b
+        if m not in vocab:
+            vocab[m] = len(vocab)
+    if vocab_size is not None:
+        need = vocab_size - 2 - len(vocab)
+        if need < 0:
+            raise ValueError(
+                f"vocab_size {vocab_size} < BPE base vocab {len(vocab) + 2}")
+        for i in range(need):
+            vocab[f"<extra_{i}>"] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    os.makedirs(tokdir, exist_ok=True)
+    with open(os.path.join(tokdir, "vocab.json"), "w") as f:
+        json.dump(vocab, f)
+    with open(os.path.join(tokdir, "merges.txt"), "w") as f:
+        f.write("#version: 0.2\n")
+        for a, b in _REHEARSAL_MERGES:
+            f.write(f"{a} {b}\n")
+    return len(vocab)
+
+
+def make_rehearsal_dir(dst: str, config=None, seed: int = 0):
+    """Build a FAKE diffusers-layout SD pipeline directory: random
+    weights, REAL names/shapes/file formats (VERDICT r3 #5).
+
+    Without real SD1.5 weights in this air-gapped env, the harness risk
+    that IS testable is name-map/layout drift: this constructs the exact
+    directory shape `import_sd_dir` expects from a diffusers checkout —
+    torch-format safetensors for unet/vae (export_torch_state_dict emits
+    canonical diffusers names; pinned by tests/test_import_rehearsal.py),
+    a REAL `transformers.CLIPTextModel` state dict for the text encoder
+    (true `text_model.*` prefixes from the actual upstream library),
+    tokenizer vocab/merges, scheduler/scheduler_config.json and
+    model_index.json. Returns the (possibly vocab-adjusted) config the
+    fake pipeline was built with, so `import_sd_dir(dst, out, cfg)` ->
+    serve -> record/check_goldens round-trips on the day real weights
+    appear, with zero new code.
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from safetensors import numpy as st_numpy
+
+    from image_restoration_and_enhancement_tpu import config as C
+    from image_restoration_and_enhancement_tpu.core import checkpoint as ckpt
+    from image_restoration_and_enhancement_tpu.core import sampling
+
+    if config is None:
+        config = C.TINY_SD
+    # tokenizer first: the BPE byte alphabet sets a floor of 551 entries;
+    # grow the text tower (and keep eos/pad as the top ids) to fit.
+    n_vocab = build_bpe_assets(
+        os.path.join(dst, "tokenizer"),
+        vocab_size=max(config.text_encoder.vocab_size, 552),
+    )
+    if n_vocab != config.text_encoder.vocab_size:
+        config = dataclasses.replace(
+            config,
+            text_encoder=dataclasses.replace(
+                config.text_encoder, vocab_size=n_vocab,
+                bos_token_id=n_vocab - 2, eos_token_id=n_vocab - 1,
+                pad_token_id=n_vocab - 1,
+            ),
+        )
+
+    modules = sampling.SDModules.create(config, dtype=jnp.float32)
+    params = sampling.init_params(modules, jax.random.PRNGKey(seed),
+                                  image_size=64)
+    for comp in ("unet", "vae"):
+        sd = {k: np.ascontiguousarray(v) for k, v in
+              ckpt.export_torch_state_dict(params[comp]).items()}
+        os.makedirs(os.path.join(dst, comp), exist_ok=True)
+        st_numpy.save_file(
+            sd, os.path.join(dst, comp, "diffusion_pytorch_model.safetensors"))
+        with open(os.path.join(dst, comp, "config.json"), "w") as f:
+            cls = ("UNet2DConditionModel" if comp == "unet"
+                   else "AutoencoderKL")
+            json.dump({"_class_name": cls,
+                       "in_channels": getattr(config, comp).in_channels},
+                      f, indent=2)
+
+    # text encoder: a REAL transformers model so the state-dict names are
+    # the upstream library's, not our own export's.
+    import torch
+    import transformers
+
+    tc = config.text_encoder
+    hf_cfg = transformers.CLIPTextConfig(
+        vocab_size=tc.vocab_size, hidden_size=tc.hidden_size,
+        intermediate_size=tc.intermediate_size,
+        num_hidden_layers=tc.num_hidden_layers,
+        num_attention_heads=tc.num_attention_heads,
+        max_position_embeddings=tc.max_position_embeddings,
+        bos_token_id=tc.bos_token_id, eos_token_id=tc.eos_token_id,
+        pad_token_id=tc.pad_token_id, hidden_act=tc.hidden_act,
+        layer_norm_eps=tc.layer_norm_eps, attn_implementation="eager",
+    )
+    torch.manual_seed(seed)
+    text_model = transformers.CLIPTextModel(hf_cfg)
+    sd = {k: np.ascontiguousarray(v.detach().numpy())
+          for k, v in text_model.state_dict().items()
+          # non-persistent-ish buffers diffusers checkpoints omit
+          if "position_ids" not in k}
+    os.makedirs(os.path.join(dst, "text_encoder"), exist_ok=True)
+    st_numpy.save_file(sd, os.path.join(dst, "text_encoder",
+                                        "model.safetensors"))
+    with open(os.path.join(dst, "text_encoder", "config.json"), "w") as f:
+        json.dump(hf_cfg.to_dict(), f, indent=2)
+
+    os.makedirs(os.path.join(dst, "scheduler"), exist_ok=True)
+    with open(os.path.join(dst, "scheduler", "scheduler_config.json"),
+              "w") as f:
+        json.dump({"_class_name": "PNDMScheduler",
+                   "skip_prk_steps": True,
+                   **dataclasses.asdict(config.scheduler)}, f, indent=2)
+    with open(os.path.join(dst, "model_index.json"), "w") as f:
+        json.dump({"_class_name": "StableDiffusionPipeline",
+                   "_diffusers_version": "0.0.0-rehearsal",
+                   "unet": ["diffusers", "UNet2DConditionModel"],
+                   "vae": ["diffusers", "AutoencoderKL"],
+                   "text_encoder": ["transformers", "CLIPTextModel"],
+                   "tokenizer": ["transformers", "CLIPTokenizer"],
+                   "scheduler": ["diffusers", "PNDMScheduler"]},
+                  f, indent=2)
+    print(f"rehearsal pipeline dir -> {dst} (vocab {n_vocab})")
+    return config
 
 
 def import_metric_weights(kind: str, src: str, weights_dir: str) -> None:
@@ -155,7 +334,9 @@ def run_our_probes(pipeline_dir: str, config=None, image_size: int = 256) -> dic
     from image_restoration_and_enhancement_tpu.core import sampling
 
     if config is None:
-        config = C.SD15
+        # prefer the config the pipeline was saved with (e.g. the tiny
+        # rehearsal stack); fall back to SD1.5
+        config = ckpt.load_pipeline_model_config(pipeline_dir) or C.SD15
     probes = _probe_inputs(config, image_size)
     modules = sampling.SDModules.create(config, dtype=jnp.float32)
     params = ckpt.load_pipeline(pipeline_dir)
@@ -270,6 +451,16 @@ def check_goldens(pipeline_dir: str, goldens_dir: str) -> int:
 
 
 def main():
+    # Import + parity probes are a host-side job: pin the CPU backend
+    # BEFORE first jax use. The JAX_PLATFORMS env var is NOT enough on
+    # relay-attached boxes (the TPU plugin wins; CLAUDE.md) — and a
+    # stray import-harness client on the relay can wedge concurrent
+    # training. IRET_IMPORT_DEVICE=tpu opts out.
+    if os.environ.get("IRET_IMPORT_DEVICE", "cpu") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("--sd15", help="diffusers SD1.5 pipeline directory")
@@ -286,13 +477,25 @@ def main():
                    help="Record parity goldens after import")
     p.add_argument("--check_goldens", metavar="DIR",
                    help="Check the imported sd15 stack against recorded goldens")
+    p.add_argument("--make_rehearsal", metavar="DIR",
+                   help="Build a FAKE diffusers-layout pipeline dir (random "
+                        "weights, real names/shapes) to rehearse the import "
+                        "path air-gapped; pair with --sd15 <DIR> afterwards")
     args = p.parse_args()
+
+    rehearsal_cfg = None
+    if args.make_rehearsal:
+        rehearsal_cfg = make_rehearsal_dir(args.make_rehearsal)
 
     from image_restoration_and_enhancement_tpu import config as C
 
     sd15_out = os.path.join(args.pretrained_root, "sd15")
     if args.sd15:
-        import_sd_dir(args.sd15, sd15_out, C.SD15)
+        cfg = C.SD15
+        if rehearsal_cfg is not None and os.path.abspath(
+                args.sd15) == os.path.abspath(args.make_rehearsal):
+            cfg = rehearsal_cfg  # tiny rehearsal dir: import with its config
+        import_sd_dir(args.sd15, sd15_out, cfg)
     if args.sd_inpaint:
         import_sd_dir(args.sd_inpaint,
                       os.path.join(args.pretrained_root, "sd15_inpaint"),
@@ -307,7 +510,7 @@ def main():
         if check_goldens(sd15_out, args.check_goldens):
             sys.exit(1)
     if not any([args.sd15, args.sd_inpaint, args.lpips, args.inception,
-                args.rrdb, args.check_goldens]):
+                args.rrdb, args.check_goldens, args.make_rehearsal]):
         p.print_help()
 
 

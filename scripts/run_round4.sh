@@ -392,3 +392,14 @@ kill "$POLLER_PID" "$WATCHDOG_PID" 2>/dev/null
 state "done"
 commit_artifacts "round4: final chain artifacts"
 echo "=== round4 chain done $(date) ===" >> "$LOG"
+
+# --- session follow-ups (appended at EOF while the chain runs mid-file;
+#     append-only is safe — existing byte offsets untouched). The
+#     bench_tome05 first attempt burned its whole cap on the post-reset
+#     cold compile (programs landed in cache at 00:42-00:44, kill at
+#     00:44:34); a warm-cache retry is minutes. tome(0.5) is the
+#     strongest >=8x candidate: its gate is 0.982 SSIM-vs-exact and it
+#     BEATS exact bf16 on gt-PSNR at the fresh checkpoint.
+bench_item bench_tome05_retry 600 BENCH_TOME=0.5
+commit_artifacts "round4: tome05 warm-cache bench retry"
+echo "=== round4 appended follow-ups done $(date) ===" >> "$LOG"

@@ -43,6 +43,35 @@ def _stats(values: List[float]) -> Dict[str, float]:
     }
 
 
+def paired_delta_stats(
+    out_per_image: Dict[str, float], base_per_image: Dict[str, float]
+) -> Optional[Dict[str, float]]:
+    """Paired per-image statistics of output-vs-baseline metric deltas.
+
+    Extends the reference's dataset-level stats block (src/metrics.py:332-346)
+    with the paired treatment a "beats the do-nothing baseline" claim needs:
+    mean delta, normal-approximation 95% CI of the mean, and win-rate (the
+    fraction of images where the output strictly beats the baseline). Images
+    are matched by filename stem; unmatched stems are dropped. Returns None
+    when fewer than 2 stems match (no CI is defined there).
+    """
+    stems = sorted(set(out_per_image) & set(base_per_image))
+    if len(stems) < 2:
+        return None
+    d = np.asarray(
+        [out_per_image[s] - base_per_image[s] for s in stems], dtype=np.float64
+    )
+    n = len(d)
+    sem = float(d.std(ddof=1)) / np.sqrt(n)
+    mean = float(d.mean())
+    return {
+        "n": n,
+        "mean": mean,
+        "ci95": [mean - 1.96 * sem, mean + 1.96 * sem],
+        "win_rate": float((d > 0).mean()),
+    }
+
+
 def evaluate_task(
     pred_dir: str,
     gt_dir: str,
@@ -52,9 +81,15 @@ def evaluate_task(
     use_fid: bool = False,
     batch_size: int = 16,
     resize_to_gt: bool = True,
+    return_per_image: bool = False,
 ) -> Dict:
     """Evaluate all matched pred/gt pairs; returns {metrics: {name: stats},
-    num_images, (lpips/fid when enabled and weights are available)}."""
+    num_images, (lpips/fid when enabled and weights are available)}.
+
+    With return_per_image=True the result also carries
+    ``per_image: {metric: {stem: value}}`` so callers can run paired
+    statistics between two evaluations of the same split (evaluate_model.py's
+    output-vs-input paired deltas)."""
     preds = _list_stems(pred_dir)
     gts = _list_stems(gt_dir)
     stems = sorted(set(preds) & set(gts))
@@ -62,35 +97,42 @@ def evaluate_task(
         raise FileNotFoundError(f"No matched pairs between {pred_dir} and {gt_dir}")
 
     # bucket by gt resolution so each bucket evaluates as one jitted batch
-    buckets: Dict[Tuple[int, int], List[Tuple[np.ndarray, np.ndarray]]] = {}
+    buckets: Dict[Tuple[int, int], List[Tuple[str, np.ndarray, np.ndarray]]] = {}
     for s in stems:
         gt = np.array(Image.open(gts[s]).convert("RGB"), dtype=np.float32) / 255.0
         pr_img = Image.open(preds[s]).convert("RGB")
         if resize_to_gt and pr_img.size != (gt.shape[1], gt.shape[0]):
             pr_img = pr_img.resize((gt.shape[1], gt.shape[0]), Image.LANCZOS)
         pr = np.array(pr_img, dtype=np.float32) / 255.0
-        buckets.setdefault(gt.shape[:2], []).append((pr, gt))
+        buckets.setdefault(gt.shape[:2], []).append((s, pr, gt))
 
     acc: Dict[str, List[float]] = {}
+    per_image: Dict[str, Dict[str, float]] = {}
     fn = _metric_fn(with_color, with_y)
     for pairs in buckets.values():
         for i in range(0, len(pairs), batch_size):
             chunk = pairs[i : i + batch_size]
-            pb = jnp.asarray(np.stack([p for p, _ in chunk]))
-            gb = jnp.asarray(np.stack([g for _, g in chunk]))
+            pb = jnp.asarray(np.stack([p for _, p, _ in chunk]))
+            gb = jnp.asarray(np.stack([g for _, _, g in chunk]))
             out = jax.device_get(fn(pb, gb))
             for name, vals in out.items():
-                acc.setdefault(name, []).extend(np.asarray(vals).tolist())
+                vals = np.asarray(vals).tolist()
+                acc.setdefault(name, []).extend(vals)
+                dst = per_image.setdefault(name, {})
+                for (stem, _, _), v in zip(chunk, vals):
+                    dst[stem] = float(v)
 
     result = {
         "num_images": len(stems),
         "metrics": {name: _stats(vals) for name, vals in acc.items()},
     }
+    if return_per_image:
+        result["per_image"] = per_image
 
     if use_lpips or use_fid:
         from . import perceptual
 
-        flat = [p for pairs in buckets.values() for p in pairs]
+        flat = [(p, g) for pairs in buckets.values() for _, p, g in pairs]
         if use_lpips and perceptual.lpips_available():
             lp = perceptual.lpips_pairs([p for p, _ in flat], [g for _, g in flat])
             result["metrics"]["lpips"] = _stats(lp)
@@ -121,3 +163,9 @@ def print_results(task: str, result: Dict) -> None:
         ib = result["input_baseline"]
         print(f"  input-vs-gt do-nothing baseline: psnr "
               f"{ib['psnr']['mean']:.4f}  ssim {ib['ssim']['mean']:.4f}")
+    for name, d in sorted(result.get("paired_delta", {}).items()):
+        print(
+            f"  paired Δ{name} (output−input, n={d['n']}): "
+            f"mean {d['mean']:+.4f}  95% CI [{d['ci95'][0]:+.4f}, "
+            f"{d['ci95'][1]:+.4f}]  win-rate {d['win_rate']:.2f}"
+        )

@@ -150,6 +150,7 @@ def pretrain_vae(
     max_val_samples: Optional[int] = None,
     use_mesh: bool = True,
     dtype=jnp.bfloat16,
+    init_from: Optional[str] = None,
 ) -> Dict[str, float]:
     """Pretrain the AutoencoderKL on data_root/{train,val}. Returns the
     final validation metrics; writes best/final pipeline checkpoints with a
@@ -169,6 +170,16 @@ def pretrain_vae(
     params = vae.init(
         rng, jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
     )["params"]
+    if init_from:
+        # continue from a previous pretrain's best/ (optimizer state restarts;
+        # pass a reduced learning_rate for a gentle continuation)
+        loaded = ckpt.load_pipeline(init_from)
+        if "vae" not in loaded:
+            raise FileNotFoundError(f"no vae component under {init_from}")
+        params = jax.tree.map(
+            lambda ref, new: jnp.asarray(new, ref.dtype), params, loaded["vae"]
+        )
+        logger.info("initialized VAE params from %s", init_from)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     logger.info("=== VAE pretrain -> %s (%d params) ===", output_dir, n_params)
     t_start = time.time()

@@ -14,6 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from image_restoration_and_enhancement_tpu.metrics.evaluate import (
     evaluate_task,
+    paired_delta_stats,
     print_results,
 )
 from image_restoration_and_enhancement_tpu.tasks.registry import TASKS
@@ -60,6 +61,7 @@ def main():
             with_color=spec.with_color_metrics, with_y=spec.with_y_metrics,
             use_lpips=args.use_lpips,
             use_fid=args.use_fid and task in ("colorize", "inpaint"),
+            return_per_image=True,
         )
         if args.input_baseline:
             in_dir = os.path.join(args.data_root, spec.pair_dir, args.split, "input")
@@ -69,12 +71,27 @@ def main():
                     with_color=spec.with_color_metrics,
                     with_y=spec.with_y_metrics,
                     use_lpips=False, use_fid=False,
+                    return_per_image=True,
                 )
                 res["input_baseline"] = base["metrics"]
+                # paired per-image output-vs-input deltas (mean, 95% CI,
+                # win-rate) — the statistical treatment a "beats the
+                # do-nothing baseline" claim needs (VERDICT r4 #3; extends
+                # the reference's stats block, src/metrics.py:332-346)
+                res["paired_delta"] = {
+                    name: d
+                    for name in res["per_image"]
+                    if name in base["per_image"]
+                    and (d := paired_delta_stats(
+                        res["per_image"][name], base["per_image"][name]
+                    )) is not None
+                }
                 res["beats_input_baseline"] = bool(
                     res["metrics"]["psnr"]["mean"]
                     > base["metrics"]["psnr"]["mean"]
                 )
+        # per-image values feed the paired stats; keep the JSON compact
+        res.pop("per_image", None)
         results[task] = res
         print_results(task, res)
 

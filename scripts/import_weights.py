@@ -90,6 +90,21 @@ def import_sd_dir(src: str, dst: str, config) -> None:
             sc = json.load(f)
         fields = {f.name for f in dataclasses.fields(type(config.scheduler))}
         overrides = {k: v for k, v in sc.items() if k in fields}
+        # fail the import loudly on values the samplers don't implement
+        # (e.g. diffusers ships beta_schedule="squaredcos_cap_v2" checkpoints;
+        # deferring the error to first sampler build would let a broken
+        # import look successful — ADVICE r4 #2)
+        supported = {
+            "beta_schedule": {"scaled_linear", "linear"},
+            "prediction_type": {"epsilon"},
+            "timestep_spacing": {"leading"},
+        }
+        for key, allowed in supported.items():
+            if key in overrides and overrides[key] not in allowed:
+                raise ValueError(
+                    f"unsupported scheduler {key}={overrides[key]!r} in "
+                    f"{sched_path} (supported: {sorted(allowed)})"
+                )
         if overrides:
             config = dataclasses.replace(
                 config,

@@ -31,6 +31,9 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no_mesh", action="store_true")
     p.add_argument("--base_model", default="sd15", choices=["sd15", "tiny_sd"])
+    p.add_argument("--init_from", default=None,
+                   help="Pipeline dir (e.g. a previous run's best/) to "
+                        "continue from instead of random init")
     args = p.parse_args()
 
     from image_restoration_and_enhancement_tpu import config as C
@@ -55,6 +58,7 @@ def main() -> None:
         max_train_samples=args.max_train_samples,
         max_val_samples=args.max_val_samples,
         use_mesh=not args.no_mesh,
+        init_from=args.init_from,
     )
     print({k: round(v, 4) for k, v in metrics.items()})
 

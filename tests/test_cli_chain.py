@@ -97,6 +97,13 @@ def test_evaluate_fail_loud_and_input_baseline(tmp_path):
     results = json.loads((tmp_path / "results.json").read_text())
     assert results["denoise"]["beats_input_baseline"] is True
     assert np.isfinite(results["denoise"]["input_baseline"]["psnr"]["mean"])
+    # paired per-image treatment (VERDICT r4 #3): perfect restore vs noisy
+    # input -> strictly positive delta, win-rate 1, CI above zero
+    pd = results["denoise"]["paired_delta"]["psnr"]
+    assert pd["n"] == 2
+    assert pd["mean"] > 0 and pd["win_rate"] == 1.0
+    assert pd["ci95"][0] <= pd["mean"] <= pd["ci95"][1]
+    assert "per_image" not in results["denoise"]  # kept out of the JSON
 
     # missing task dirs -> nonzero exit (sr_x4 was requested but absent)
     env = dict(os.environ, IRET_PLATFORM="cpu")
@@ -117,6 +124,28 @@ def test_evaluate_fail_loud_and_input_baseline(tmp_path):
         cwd=tmp_path, capture_output=True, text=True, timeout=600, env=env,
     )
     assert p.returncode == 0
+
+
+def test_paired_delta_stats_unit():
+    """paired_delta_stats matches by stem, drops unmatched, and computes
+    mean/CI/win-rate on the per-image deltas."""
+    from image_restoration_and_enhancement_tpu.metrics.evaluate import (
+        paired_delta_stats,
+    )
+
+    out = {"a": 10.0, "b": 12.0, "c": 14.0, "only_out": 99.0}
+    base = {"a": 9.0, "b": 13.0, "c": 10.0, "only_base": 0.0}
+    d = paired_delta_stats(out, base)
+    assert d["n"] == 3
+    deltas = np.array([1.0, -1.0, 4.0])
+    assert d["mean"] == pytest.approx(deltas.mean())
+    assert d["win_rate"] == pytest.approx(2 / 3)
+    sem = deltas.std(ddof=1) / np.sqrt(3)
+    assert d["ci95"][0] == pytest.approx(deltas.mean() - 1.96 * sem)
+    assert d["ci95"][1] == pytest.approx(deltas.mean() + 1.96 * sem)
+    # <2 matched stems -> no CI defined
+    assert paired_delta_stats({"a": 1.0}, {"a": 2.0}) is None
+    assert paired_delta_stats({"a": 1.0}, {"b": 2.0}) is None
 
 
 def test_fid_random_init_exercise(tmp_path, monkeypatch):

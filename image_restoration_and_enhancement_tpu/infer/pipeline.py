@@ -468,16 +468,21 @@ class RestorationPipeline:
     # ------------------------------------------------------------------
 
     def denoise(self, image: ImageLike, strength: float = 0.5,
-                prompt: Optional[str] = None, **kwargs) -> Image.Image:
+                prompt: Optional[str] = None,
+                guidance: Optional[float] = None, **kwargs) -> Image.Image:
+        """`guidance` overrides the task's CFG scale (restoration fidelity
+        usually wants LOW guidance: gs<=1 disables the uncond branch
+        entirely and serves at half the CFG compute)."""
         img = _to_uint8(image)
         stack = self._load_stack("denoise")
         if stack is not None:
             try:
                 spec = stack["spec"]
+                gs = spec.sampler.guidance_scale if guidance is None else guidance
                 return _to_pil(self._run_sd(
                     stack, img, prompt or self.prompts["denoise"],
                     spec.sampler.num_inference_steps, strength,
-                    spec.sampler.guidance_scale, spec.sampler.sampler,
+                    gs, spec.sampler.sampler,
                 ))
             except StrictQuantError:
                 raise
@@ -582,6 +587,7 @@ class RestorationPipeline:
                         current,
                         strength=kwargs.get("denoise_strength", 0.5),
                         prompt=kwargs.get("denoise_prompt"),
+                        guidance=kwargs.get("denoise_guidance"),
                     )
                     results["denoised"] = current
                 elif canon == "sr_x4":

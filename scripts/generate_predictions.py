@@ -41,6 +41,9 @@ def main():
                         "(required for int8_static)")
     p.add_argument("--cfg_cache", type=int, default=1)
     p.add_argument("--tome", type=float, default=0.0)
+    p.add_argument("--denoise_guidance", type=float, default=None,
+                   help="override the denoise CFG scale (gs<=1 disables the "
+                        "uncond branch; restoration fidelity wants low gs)")
     p.add_argument("--denoise_strength", type=float, default=0.5,
                    help="Serving strength for the denoise task (reference "
                         "default 0.5, src/inference.py:486-494; the hard-"
@@ -80,7 +83,8 @@ def main():
         print(f"[{task}] {len(names)} images")
         for name in names:
             img = Image.open(os.path.join(in_dir, name)).convert("RGB")
-            kwargs = {"denoise_strength": args.denoise_strength}
+            kwargs = {"denoise_strength": args.denoise_strength,
+                      "denoise_guidance": args.denoise_guidance}
             if spec.uses_mask:
                 mpath = os.path.join(mask_dir, name)
                 if os.path.exists(mpath):

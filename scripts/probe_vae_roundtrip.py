@@ -53,8 +53,10 @@ def main() -> None:
     vae = AutoencoderKL(cfg.vae, dtype=getattr(jnp, args.dtype))
     params = ckpt.load_pipeline(args.checkpoint)["vae"]
 
+    # params MUST be an argument, not a closure: closed-over params embed as
+    # HLO constants and overflow the remote-compile request (relay gotcha)
     @jax.jit
-    def roundtrip(x):
+    def roundtrip(params, x):
         post = vae.apply({"params": params}, x, method=vae.encode)
         return vae.apply({"params": params}, post.mean, method=vae.decode)
 
@@ -74,7 +76,7 @@ def main() -> None:
     def rt(x):
         outs = []
         for i in range(0, len(x), args.batch):
-            y = roundtrip(jnp.asarray(x[i : i + args.batch]))
+            y = roundtrip(params, jnp.asarray(x[i : i + args.batch]))
             outs.append(np.asarray(y, np.float32))  # host fetch = sync
         return np.concatenate(outs)
 

@@ -76,10 +76,90 @@ def unflatten_params(flat: Dict[str, np.ndarray], sep: str = "/"):
 # ---------------------------------------------------------------------------
 
 
+def fetch_params_verified(params, max_retries: int = 3):
+    """Fetch a (possibly device-resident) params pytree to host numpy,
+    verified against device-side checksums.
+
+    Defense against a real, observed failure (round 5): through the TPU
+    network relay, host fetches of long-lived donated training buffers
+    returned STALE near-init contents at checkpoint-save time while the
+    device's live values were fine (training/val metrics computed on
+    device were good; the saved file reloaded as ~random — every round-2..4
+    best/ VAE checkpoint was silently corrupted this way, capping all
+    serve-path PSNR at decode-noise ~9 dB). The corruption is not
+    reproducible with fresh or short-lived buffers, so every save now:
+
+      1. computes per-leaf |x| sums ON DEVICE (one tiny jit, scalar fetch),
+      2. fetches the tree and compares host sums against the device sums,
+      3. refetches any mismatching leaf through a fresh buffer (x + 0
+         allocates a new output buffer, bypassing any stale host-side
+         mapping), and
+      4. raises RuntimeError if the mismatch survives `max_retries`,
+         so a corrupt checkpoint can never be written silently.
+
+    Host-resident (numpy / CPU-backend) trees take a fast path with no
+    device work. Set IRET_NO_VERIFY_FETCH=1 to disable (debug only).
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    needs_verify = os.environ.get("IRET_NO_VERIFY_FETCH") != "1" and (
+        os.environ.get("IRET_FORCE_VERIFY_FETCH") == "1"
+        or any(
+            isinstance(l, jax.Array)
+            and next(iter(l.devices())).platform != "cpu"
+            for l in leaves
+        )
+    )
+    if not needs_verify:
+        return jax.tree_util.tree_unflatten(
+            treedef, [np.asarray(l) for l in leaves]
+        )
+
+    # test seam: _fetch simulates a stale relay in unit tests
+    _fetch = getattr(fetch_params_verified, "_fetch", np.asarray)
+
+    def _sums(ls):
+        return [jnp.sum(jnp.abs(jnp.asarray(x, jnp.float32))) for x in ls]
+
+    dev_sums = np.asarray(jax.device_get(jax.jit(_sums)(leaves)), np.float64)
+    host = [_fetch(l) for l in leaves]
+
+    def _bad_indices():
+        bad = []
+        for i, h in enumerate(host):
+            hsum = float(np.abs(np.asarray(h, np.float64)).sum())
+            ref = float(dev_sums[i])
+            if not np.isclose(hsum, ref, rtol=1e-3, atol=1e-3):
+                bad.append(i)
+        return bad
+
+    bad = _bad_indices()
+    for attempt in range(max_retries):
+        if not bad:
+            break
+        logger.warning(
+            "verified fetch: %d/%d leaves mismatch device checksums "
+            "(stale relay buffers?) — refetching via fresh buffers "
+            "(attempt %d)", len(bad), len(leaves), attempt + 1,
+        )
+        fresh = jax.jit(lambda ls: [x + jnp.zeros((), x.dtype) for x in ls])(
+            [jnp.asarray(leaves[i]) for i in bad]
+        )
+        for j, i in enumerate(bad):
+            host[i] = _fetch(fresh[j])
+        bad = _bad_indices()
+    if bad:
+        raise RuntimeError(
+            f"checkpoint fetch corrupt after {max_retries} retries: "
+            f"{len(bad)} leaves disagree with device checksums "
+            f"(first: index {bad[0]}, shape {host[bad[0]].shape})"
+        )
+    return jax.tree_util.tree_unflatten(treedef, host)
+
+
 def save_params(params, path: str) -> None:
-    """Save a params pytree as a flat safetensors file."""
+    """Save a params pytree as a flat safetensors file (verified fetch)."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    st_numpy.save_file(flatten_params(params), path)
+    st_numpy.save_file(flatten_params(fetch_params_verified(params)), path)
 
 
 def load_params(path: str):
@@ -190,8 +270,27 @@ def find_latest_checkpoint(model_dir: str) -> Optional[str]:
 # ---------------------------------------------------------------------------
 
 
+def tree_abs_sums(tree) -> Dict[str, float]:
+    """{flat-path: sum(|leaf|)} computed ON DEVICE (one jit; scalar
+    fetches only — trustworthy through the relay, see
+    fetch_params_verified). Used as a cheap content signature."""
+    paths, leaves = zip(*jax.tree_util.tree_flatten_with_path(tree)[0])
+
+    def _sums(ls):
+        return [jnp.sum(jnp.abs(jnp.asarray(x, jnp.float32))) for x in ls]
+
+    sums = jax.device_get(jax.jit(_sums)(list(leaves)))
+    return {jax.tree_util.keystr(p): float(s) for p, s in zip(paths, sums)}
+
+
 class TrainCheckpointer:
-    """Orbax-backed save/restore of full training state (true resume)."""
+    """Orbax-backed save/restore of full training state (true resume).
+
+    Each save also writes a `checksums_{step}.json` sidecar of device-side
+    per-leaf |x| sums; restore verifies the restored leaves against it and
+    raises on disagreement — the same stale-relay-buffer corruption that
+    silently wrote near-init VAE best/ checkpoints (fetch_params_verified)
+    would otherwise poison resumed training states undetected."""
 
     def __init__(self, directory: str, max_to_keep: int = 3):
         import orbax.checkpoint as ocp
@@ -204,12 +303,21 @@ class TrainCheckpointer:
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
         )
 
+    def _checksum_path(self, step: int) -> str:
+        return os.path.join(self.directory, f"checksums_{step}.json")
+
     def save(self, step: int, state, wait: bool = False) -> None:
         """Kick off an async save. By default does NOT block on the background
         commit: on slow disks the finalize of a 3.2GiB state takes 10+ minutes
         and blocking here serialized the whole epoch loop (orbax itself waits
         for any previous in-flight save before starting a new one). Call
         wait() (or pass wait=True) before process exit."""
+        try:
+            sums = tree_abs_sums(state)
+            with open(self._checksum_path(step), "w") as f:
+                json.dump(sums, f)
+        except Exception:  # noqa: BLE001 — checksums are a guard, not a gate
+            logger.exception("could not write train-state checksums")
         self.manager.save(step, args=self._ocp.args.StandardSave(state))
         if wait:
             self.manager.wait_until_finished()
@@ -221,9 +329,25 @@ class TrainCheckpointer:
         step = step if step is not None else self.manager.latest_step()
         if step is None:
             return None
-        return self.manager.restore(
+        restored = self.manager.restore(
             step, args=self._ocp.args.StandardRestore(state_template)
         )
+        cs_path = self._checksum_path(step)
+        if os.path.exists(cs_path) and os.environ.get("IRET_NO_VERIFY_FETCH") != "1":
+            with open(cs_path) as f:
+                want = json.load(f)
+            got = tree_abs_sums(restored)
+            bad = [
+                k for k, v in want.items()
+                if k in got and not np.isclose(got[k], v, rtol=1e-3, atol=1e-3)
+            ]
+            if bad:
+                raise RuntimeError(
+                    f"restored train state at step {step} fails checksum "
+                    f"verification for {len(bad)} leaves (first: {bad[0]}) — "
+                    f"refusing to resume from a corrupt checkpoint"
+                )
+        return restored
 
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()

@@ -50,7 +50,7 @@ sync_artifacts() {
   # round-5 full-retrain curves land under _run3 names (run1 = committed
   # 10-ep curves, run2 = the r4 reset-recovery restores)
   for p in "denoising:denoise:_run3" "super_resolution:sr_x4:_run3" \
-           "inpainting:inpaint:_run3"; do
+           "inpainting:inpaint:_run3" "colorization:colorize:_run4"; do
     d="${p%%:*}"; r="${p##*:}"; t="${p#*:}"; t="${t%%:*}"
     for src in "outputs/models_r5/$d" "outputs/models/$d"; do
       [ -f "$src/metrics_${t}.csv" ] || continue
@@ -224,62 +224,68 @@ if [ ! -d data/pairs/denoise/train/input ]; then
       --out_root data/pairs) >> /tmp/datagen_r5.log 2>&1 \
     || { echo "--- FATAL: datagen failed" >> "$LOG"; exit 1; }
 fi
-if [ ! -f outputs/models/vae_pretrained/best/model_index.json ]; then
-  run_item vae_pretrain 2400 5400 python scripts/pretrain_vae.py \
-    --num_epochs 8 --output_dir outputs/models/vae_pretrained
-  # a silent random-VAE downgrade would commit decode-noise metrics as
-  # round artifacts (ADVICE r4 #3): fail the chain loudly instead
-  [ -f outputs/models/vae_pretrained/best/model_index.json ] \
-    || { echo "--- FATAL: VAE pretrain self-heal failed" >> "$LOG"; exit 1; }
-fi
-
 # =====================================================================
-# Stage A (VERDICT #1): hard-family full-scale measured restoration
+# Stage A: REBUILD the VAEs with verified saves. Round-5 root-cause
+# finding: every round-2..4 best/final checkpoint was silently corrupted
+# at save time (relay returned stale near-init buffers on the host fetch;
+# live device training was fine — e.g. vae_pretrained stamped 31.7 dB
+# val PSNR but reloads at 9.0 dB). core/checkpoint.py now verifies every
+# fetch against device-side checksums, and this chain retrains everything
+# that matters from scratch through the verified path. Probe-gated so a
+# chain restart never redoes a good rebuild.
 # =====================================================================
+probe_rt() {  # probe_rt <checkpoint> <pairs> <out.json>; echoes rt_gt_vs_gt
+  run_item "probe_$(basename "$3" .json)" 300 2400 sh -c \
+    "python scripts/probe_vae_roundtrip.py --checkpoint '$1' \
+       --pairs '$2' --n 16 | tail -1 > '$3'" >/dev/null 2>&1
+  python -c "import json;print(json.load(open('$3'))['rt_gt_vs_gt'])" 2>/dev/null || echo 0
+}
 
-# ---- A1. probe the current mixed VAE's round-trip ceiling
-run_item vae_probe_before 600 2400 sh -c \
-  "python scripts/probe_vae_roundtrip.py \
-     --checkpoint outputs/models_hard/vae_mixed/best \
-     --pairs data/pairs_hard/denoise/val --n 32 \
-     | tail -1 > /tmp/probe_vae_before.json"
-
-# ---- A2. continue the mixed VAE while its round-trip caps the serve
-#          (epoch-5 curve was still climbing ~+0.2 dB/epoch)
-VAE_HARD=outputs/models_hard/vae_mixed/best
-RT_BEFORE=$(python -c "import json;print(json.load(open('/tmp/probe_vae_before.json'))['rt_input_vs_gt'])" 2>/dev/null || echo 0)
-echo "--- rt_input_vs_gt before: $RT_BEFORE" >> "$LOG"
-if python -c "exit(0 if float('$RT_BEFORE' or 0) < 20.0 else 1)"; then
-  run_item vae_mixed_continue 3000 7200 python scripts/pretrain_vae.py \
-    --data_root data/vae_mixed_hard --num_epochs 16 --learning_rate 5e-5 \
-    --init_from outputs/models_hard/vae_mixed/best \
-    --output_dir outputs/models_hard/vae_mixed_v2
-  if [ -f outputs/models_hard/vae_mixed_v2/best/model_index.json ]; then
-    run_item vae_probe_after 300 1800 sh -c \
-      "python scripts/probe_vae_roundtrip.py \
-         --checkpoint outputs/models_hard/vae_mixed_v2/best \
-         --pairs data/pairs_hard/denoise/val --n 32 \
-         | tail -1 > /tmp/probe_vae_after.json"
-    RT_AFTER=$(python -c "import json;print(json.load(open('/tmp/probe_vae_after.json'))['rt_input_vs_gt'])" 2>/dev/null || echo 0)
-    echo "--- rt_input_vs_gt after: $RT_AFTER" >> "$LOG"
-    if python -c "exit(0 if float('$RT_AFTER' or 0) > float('$RT_BEFORE' or 0) else 1)"; then
-      VAE_HARD=outputs/models_hard/vae_mixed_v2/best
-    fi
+# ---- A0. main (clean-family) VAE: required by every Stage-B retrain
+RT_MAIN=$(probe_rt outputs/models/vae_pretrained/best data/pairs/denoise/val /tmp/probe_vae_main.json)
+echo "--- main VAE rt_gt_vs_gt: $RT_MAIN" >> "$LOG"
+if python -c "exit(0 if float('$RT_MAIN' or 0) < 22.0 else 1)"; then
+  run_item vae_pretrain_rebuild 2400 7200 python scripts/pretrain_vae.py \
+    --num_epochs 8 --output_dir outputs/models/vae_pretrained_v2
+  if [ -f outputs/models/vae_pretrained_v2/best/model_index.json ]; then
+    rm -rf outputs/models/vae_pretrained_corrupt_r4
+    mv outputs/models/vae_pretrained outputs/models/vae_pretrained_corrupt_r4 2>/dev/null
+    mv outputs/models/vae_pretrained_v2 outputs/models/vae_pretrained
   fi
+  RT_MAIN=$(probe_rt outputs/models/vae_pretrained/best data/pairs/denoise/val /tmp/probe_vae_main_after.json)
+  echo "--- rebuilt main VAE rt_gt_vs_gt: $RT_MAIN" >> "$LOG"
+  # a corrupt/random frozen VAE would commit decode-noise metrics as round
+  # artifacts (ADVICE r4 #3): fail the chain loudly instead
+  python -c "exit(0 if float('$RT_MAIN' or 0) >= 22.0 else 1)" \
+    || { echo "--- FATAL: rebuilt main VAE still bad ($RT_MAIN)" >> "$LOG"; exit 1; }
 fi
-echo "--- hard-family frozen VAE: $VAE_HARD" >> "$LOG"
-commit_artifacts "round5: hard-family VAE probe + continued pretrain"
 
-# ---- A3. resume the 860M UNet on the hard pairs against the better VAE
+# ---- A1. hard-family mixed VAE rebuild (same corruption)
+VAE_HARD=outputs/models_hard/vae_mixed_v2/best
+RT_HARD=$(probe_rt outputs/models_hard/vae_mixed_v2/best data/pairs_hard/denoise/val /tmp/probe_vae_hard.json)
+echo "--- hard mixed VAE rt_gt_vs_gt: $RT_HARD" >> "$LOG"
+if python -c "exit(0 if float('$RT_HARD' or 0) < 20.0 else 1)"; then
+  run_item vae_mixed_rebuild 2400 7200 python scripts/pretrain_vae.py \
+    --data_root data/vae_mixed_hard --num_epochs 12 \
+    --output_dir outputs/models_hard/vae_mixed_v2
+  RT_HARD=$(probe_rt outputs/models_hard/vae_mixed_v2/best data/pairs_hard/denoise/val /tmp/probe_vae_hard_after.json)
+  echo "--- rebuilt hard VAE rt_gt_vs_gt: $RT_HARD" >> "$LOG"
+fi
+[ -f "$VAE_HARD/model_index.json" ] || VAE_HARD=outputs/models/vae_pretrained/best
+echo "--- hard-family frozen VAE: $VAE_HARD" >> "$LOG"
+commit_artifacts "round5: verified VAE rebuilds (main + hard mixed)"
+
+# ---- A3. hard-family 860M UNet from scratch against the verified VAE
+#          (the r4 checkpoint is corrupt — init_from it would be ~random
+#          init with extra steps)
 if [ ! -f outputs/models_hard_r5/denoising/final/model_index.json ]; then
   run_item train_hard_r5 4200 12600 python scripts/train_denoising.py \
     --data_root data/pairs_hard --output_dir outputs/models_hard_r5/denoising \
-    --init_from outputs/models_hard/denoising/best \
     --vae_init "$VAE_HARD" \
-    --num_epochs 20 --batch_size 8 --gradient_accumulation_steps 1 \
+    --num_epochs 16 --batch_size 8 --gradient_accumulation_steps 1 \
     --optimizer adafactor --save_steps -1 --state_save_epochs 5 --resume
 fi
-commit_artifacts "round5: hard-family 860M UNet resumed (20 ep vs continued VAE)"
+commit_artifacts "round5: hard-family 860M UNet trained vs verified VAE"
 
 # ---- A4. serving sweep on val (16 imgs): strength x guidance grid.
 #          gs=1 disables CFG (fidelity mode); low strengths lean on the
@@ -327,11 +333,14 @@ EOF
 fi
 
 # =====================================================================
-# Stage B (VERDICT #4): full 10-epoch retrains for denoise/sr/inpaint
-# (colorize already has a committed 10/10 curve + its 10-ep checkpoint)
+# Stage B (VERDICT #4 + corruption rebuild): full 10-epoch retrains for
+# ALL FOUR tasks — every pre-round-5 best/ checkpoint reloads as
+# near-init (see Stage A header), so the committed curves' checkpoints
+# never actually existed on disk. These runs serve through the verified
+# save path against the rebuilt VAE.
 # =====================================================================
 for task in denoising:train_denoising super_resolution:train_super_resolution \
-            inpainting:train_inpainting; do
+            inpainting:train_inpainting colorization:train_colorization; do
   d="${task%%:*}"; scr="${task##*:}"
   if [ ! -f "outputs/models_r5/$d/final/model_index.json" ] \
      && [ ! -f "outputs/models/$d/.r5_full" ]; then

@@ -56,6 +56,45 @@ def test_find_latest_checkpoint_semantics(tmp_path):
     assert ckpt.find_latest_checkpoint(root).endswith("best")
 
 
+def test_fetch_params_verified_identity(monkeypatch):
+    """Forced-verify path returns the tree unchanged when fetches are clean."""
+    monkeypatch.setenv("IRET_FORCE_VERIFY_FETCH", "1")
+    tree = {"a": jnp.arange(12.0).reshape(3, 4), "b": jnp.ones((5,))}
+    out = ckpt.fetch_params_verified(tree)
+    np.testing.assert_array_equal(out["a"], np.arange(12.0).reshape(3, 4))
+    np.testing.assert_array_equal(out["b"], np.ones((5,)))
+
+
+def test_fetch_params_verified_catches_stale_fetch(monkeypatch):
+    """A stale first fetch (the observed relay corruption: near-init
+    contents returned for a live trained buffer) must be detected by the
+    device checksums and healed by the fresh-buffer refetch; a permanently
+    stale fetch must raise rather than write a corrupt checkpoint."""
+    monkeypatch.setenv("IRET_FORCE_VERIFY_FETCH", "1")
+    tree = {"w": jnp.full((4, 4), 7.0)}
+
+    calls = {"n": 0}
+
+    def stale_once(x):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return np.zeros_like(np.asarray(x))  # stale near-init buffer
+        return np.asarray(x)
+
+    monkeypatch.setattr(ckpt.fetch_params_verified, "_fetch", stale_once,
+                        raising=False)
+    out = ckpt.fetch_params_verified(tree)
+    np.testing.assert_array_equal(out["w"], np.full((4, 4), 7.0))
+    assert calls["n"] >= 2  # the refetch actually happened
+
+    monkeypatch.setattr(
+        ckpt.fetch_params_verified, "_fetch",
+        lambda x: np.zeros_like(np.asarray(x)), raising=False,
+    )
+    with pytest.raises(RuntimeError, match="corrupt"):
+        ckpt.fetch_params_verified(tree)
+
+
 def test_torch_import_name_mapping():
     """Round-trip: torch-style names/layouts -> flax tree with transposes."""
     state = {

@@ -27,7 +27,7 @@ import json
 import logging
 import os
 import re
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -80,20 +80,17 @@ def fetch_params_verified(params, max_retries: int = 3):
     """Fetch a (possibly device-resident) params pytree to host numpy,
     verified against device-side checksums.
 
-    Defense against a real, observed failure (round 5): through the TPU
-    network relay, host fetches of long-lived donated training buffers
-    returned STALE near-init contents at checkpoint-save time while the
-    device's live values were fine (training/val metrics computed on
-    device were good; the saved file reloaded as ~random — every round-2..4
-    best/ VAE checkpoint was silently corrupted this way, capping all
-    serve-path PSNR at decode-noise ~9 dB). The corruption is not
-    reproducible with fresh or short-lived buffers, so every save now:
+    Defense-in-depth for checkpoint saves. The actual round-2..4 silent
+    checkpoint corruption turned out to be the safetensors non-contiguity
+    bug fixed in save_params (see there), not a bad device fetch — but the
+    hunt showed the save path had NO verification anywhere, and the relay
+    platform is explicitly experimental. So every save now:
 
       1. computes per-leaf |x| sums ON DEVICE (one tiny jit, scalar fetch),
-      2. fetches the tree and compares host sums against the device sums,
+      2. fetches the tree (one materializing np.array copy per leaf) and
+         compares host sums against the device sums,
       3. refetches any mismatching leaf through a fresh buffer (x + 0
-         allocates a new output buffer, bypassing any stale host-side
-         mapping), and
+         allocates a new output buffer), and
       4. raises RuntimeError if the mismatch survives `max_retries`,
          so a corrupt checkpoint can never be written silently.
 
@@ -114,8 +111,14 @@ def fetch_params_verified(params, max_retries: int = 3):
             treedef, [np.asarray(l) for l in leaves]
         )
 
-    # test seam: _fetch simulates a stale relay in unit tests
-    _fetch = getattr(fetch_params_verified, "_fetch", np.asarray)
+    # np.array(copy=True): one materializing read per leaf; the copy is
+    # plain host memory, so verification and serialization read the same
+    # bytes. (np.asarray of a fetched TPU array can be a non-C-contiguous
+    # view in device layout — save_params normalizes before writing.)
+    # test seam: _fetch simulates a corrupted fetch in unit tests
+    _fetch = getattr(
+        fetch_params_verified, "_fetch", lambda x: np.array(x, copy=True)
+    )
 
     def _sums(ls):
         return [jnp.sum(jnp.abs(jnp.asarray(x, jnp.float32))) for x in ls]
@@ -156,10 +159,141 @@ def fetch_params_verified(params, max_retries: int = 3):
     return jax.tree_util.tree_unflatten(treedef, host)
 
 
-def save_params(params, path: str) -> None:
-    """Save a params pytree as a flat safetensors file (verified fetch)."""
+class ParamExporter:
+    """Pre-compiled device->host export with trusted verification.
+
+    The trainers' save-time fetch path: pre-compiles, per tree structure,
+      - an identity export (outputs = fresh buffers), and
+      - a per-leaf |x|-sum reduction (trusted scalar reference),
+    and `fetch()` retries the export until the host copy matches the
+    reference sums, raising rather than returning silent garbage.
+    Compiling at trainer start (prepare()) keeps the multi-minute remote
+    compile of the 860M-UNet reduction off the first best-save's critical
+    path and pins the verification programs before any donation history
+    exists on the relay (defense-in-depth; the r2-r4 corruption itself was
+    the save_params non-contiguity bug).
+    """
+
+    def __init__(self):
+        self._by_treedef: Dict[Any, Tuple[Any, Any]] = {}
+
+    def prepare(self, tree) -> None:
+        """Compile the export/sum programs for this tree structure and run
+        them once. Call BEFORE the first optimizer step."""
+        treedef = jax.tree_util.tree_structure(tree)
+        if treedef in self._by_treedef:
+            return
+        export = jax.jit(
+            lambda t: jax.tree.map(lambda a: a + jnp.zeros((), a.dtype), t)
+        )
+        sums = jax.jit(
+            lambda t: [
+                jnp.sum(jnp.abs(jnp.asarray(x, jnp.float32)))
+                for x in jax.tree_util.tree_leaves(t)
+            ]
+        )
+        jax.block_until_ready(export(tree))
+        jax.block_until_ready(sums(tree))
+        self._by_treedef[treedef] = (export, sums)
+
+    def sums_dict(self, tree) -> Dict[str, float]:
+        """{flat-path: trusted |x|-sum} — sidecar checksums for
+        TrainCheckpointer computed through the early-compiled program."""
+        paths = [
+            jax.tree_util.keystr(p)
+            for p, _ in jax.tree_util.tree_flatten_with_path(tree)[0]
+        ]
+        return dict(zip(paths, self.ref_sums(tree)))
+
+    def ref_sums(self, tree) -> List[float]:
+        treedef = jax.tree_util.tree_structure(tree)
+        if treedef not in self._by_treedef:
+            logger.warning(
+                "ParamExporter.prepare was not called early for this tree "
+                "structure; late-compiled programs can read stale buffers"
+            )
+            self.prepare(tree)
+        _, sums = self._by_treedef[treedef]
+        return [float(s) for s in jax.device_get(sums(tree))]
+
+    def fetch(self, tree, max_retries: int = 3):
+        """Fetch tree to host numpy, verified against the early-compiled
+        reference sums; raises RuntimeError on persistent corruption."""
+        treedef = jax.tree_util.tree_structure(tree)
+        ref = self.ref_sums(tree)
+        export, sums_fn = self._by_treedef[treedef]
+        last_bad: List[int] = []
+        for attempt in range(max_retries + 1):
+            src = tree if attempt == 0 else export(tree)
+            # np.array(copy=True): ONE materializing read per leaf — a bare
+            # np.asarray view refetches per access with independent
+            # staleness through the relay (see fetch_params_verified)
+            host = [
+                np.array(l, copy=True) for l in jax.tree_util.tree_leaves(src)
+            ]
+            bad = [
+                i for i, h in enumerate(host)
+                if not np.isclose(
+                    float(np.abs(np.asarray(h, np.float64)).sum()),
+                    ref[i], rtol=1e-3, atol=1e-3,
+                )
+            ]
+            if not bad:
+                if attempt:
+                    logger.warning(
+                        "ParamExporter: healed stale fetch via export "
+                        "(attempt %d)", attempt,
+                    )
+                return jax.tree_util.tree_unflatten(treedef, host)
+            last_bad = bad
+            logger.warning(
+                "ParamExporter: %d/%d leaves mismatch trusted sums "
+                "(attempt %d) — re-exporting", len(bad), len(host), attempt + 1,
+            )
+        raise RuntimeError(
+            f"param fetch corrupt after {max_retries} export retries: "
+            f"{len(last_bad)} leaves disagree with early-compiled checksums"
+        )
+
+
+def save_params(params, path: str, fetcher=None) -> None:
+    """Save a params pytree as a flat safetensors file (verified fetch).
+
+    `fetcher` (e.g. ParamExporter.fetch) overrides the default
+    fetch_params_verified — trainers pass their early-compiled exporter."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    st_numpy.save_file(flatten_params(fetch_params_verified(params)), path)
+    on_device = any(
+        isinstance(l, jax.Array) and next(iter(l.devices())).platform != "cpu"
+        for l in jax.tree_util.tree_leaves(params)
+    )
+    host = fetcher(params) if (fetcher and on_device) else fetch_params_verified(params)
+    # C-contiguous normalization is REQUIRED before safetensors: arrays
+    # fetched from TPU-layout jax buffers can be non-C-contiguous (e.g.
+    # conv kernels with tiny minor dims), and safetensors serializes their
+    # raw bytes as if C-ordered — the silent element-scrambling that
+    # corrupted every r2-r4 conv_out kernel (round-5 root cause, part 2;
+    # reproduced minimally: push->copy->save_file->load mismatches exactly
+    # decoder/encoder conv_out kernels, pure-numpy roundtrip is clean)
+    flat = {
+        k: np.ascontiguousarray(v) for k, v in flatten_params(host).items()
+    }
+    st_numpy.save_file(flat, path)
+    if on_device and os.environ.get("IRET_NO_VERIFY_FETCH") != "1":
+        # write-path verification: reload the file (page-cached, cheap) and
+        # compare against the verified host copy — closes the last silent-
+        # corruption window between device and disk
+        reread = dict(st_numpy.load_file(path))
+        bad = [
+            k for k, v in flat.items()
+            if k not in reread or not np.array_equal(
+                np.asarray(reread[k]), np.asarray(v)
+            )
+        ]
+        if bad:
+            raise RuntimeError(
+                f"checkpoint write verification failed for {len(bad)} "
+                f"tensors in {path} (first: {bad[0]})"
+            )
 
 
 def load_params(path: str):
@@ -179,20 +313,24 @@ def save_pipeline(
     config,
     extra_meta: Optional[Dict[str, Any]] = None,
     skip_existing: Tuple[str, ...] = (),
+    fetcher=None,
 ) -> None:
     """Write a full pipeline checkpoint: per-component safetensors + configs.
 
     skip_existing: components whose safetensors file is NOT rewritten when it
     already exists in `directory`. The trainer passes its frozen components
     (VAE/text encoders) here so repeated best-checkpoint saves only rewrite
-    the UNet — on slow disks the frozen ~1GB was a third of every save."""
+    the UNet — on slow disks the frozen ~1GB was a third of every save.
+    fetcher: trusted device->host fetch (ParamExporter.fetch) — trainers
+    pass their early-compiled exporter so saves survive the relay's
+    stale-buffer behavior."""
     os.makedirs(directory, exist_ok=True)
     for comp in _COMPONENTS:
         if comp in params:
             path = os.path.join(directory, comp, "model.safetensors")
             if comp in skip_existing and os.path.exists(path):
                 continue
-            save_params(params[comp], path)
+            save_params(params[comp], path, fetcher=fetcher)
     meta = {
         "_framework": "image_restoration_and_enhancement_tpu",
         "components": [c for c in _COMPONENTS if c in params],
@@ -288,9 +426,9 @@ class TrainCheckpointer:
 
     Each save also writes a `checksums_{step}.json` sidecar of device-side
     per-leaf |x| sums; restore verifies the restored leaves against it and
-    raises on disagreement — the same stale-relay-buffer corruption that
-    silently wrote near-init VAE best/ checkpoints (fetch_params_verified)
-    would otherwise poison resumed training states undetected."""
+    raises on disagreement, so a corrupted serialized train state (the
+    round-5 checkpoint-corruption class — see save_params) can never be
+    silently resumed from."""
 
     def __init__(self, directory: str, max_to_keep: int = 3):
         import orbax.checkpoint as ocp
@@ -306,14 +444,19 @@ class TrainCheckpointer:
     def _checksum_path(self, step: int) -> str:
         return os.path.join(self.directory, f"checksums_{step}.json")
 
-    def save(self, step: int, state, wait: bool = False) -> None:
+    def save(self, step: int, state, wait: bool = False,
+             checksums: Optional[Dict[str, float]] = None) -> None:
         """Kick off an async save. By default does NOT block on the background
         commit: on slow disks the finalize of a 3.2GiB state takes 10+ minutes
         and blocking here serialized the whole epoch loop (orbax itself waits
         for any previous in-flight save before starting a new one). Call
-        wait() (or pass wait=True) before process exit."""
+        wait() (or pass wait=True) before process exit.
+
+        checksums: trusted {path: |x|-sum} (ParamExporter.sums_dict) —
+        preferred over the inline tree_abs_sums so the big reduction
+        program is the one pre-compiled at trainer start."""
         try:
-            sums = tree_abs_sums(state)
+            sums = checksums if checksums is not None else tree_abs_sums(state)
             with open(self._checksum_path(step), "w") as f:
                 json.dump(sums, f)
         except Exception:  # noqa: BLE001 — checksums are a guard, not a gate

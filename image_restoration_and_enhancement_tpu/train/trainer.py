@@ -312,6 +312,12 @@ def train_task(
 
     state = create_train_state(cfg, params["unet"], num_opt_steps)
     frozen = {"vae": params["vae"]}
+    # verified save-time export path, pre-compiled before the first
+    # optimizer step (core/checkpoint.ParamExporter)
+    exporter = ckpt.ParamExporter()
+    exporter.prepare(state.params)
+    if cfg.state_save_epochs >= 0:
+        exporter.prepare(state)  # sidecar checksums for orbax train state
     step_fn = make_train_step(modules, spec, cfg, mesh=mesh)
 
     tokenizer = load_tokenizer(init_from, vocab_size=spec.model_config.text_encoder.vocab_size)
@@ -384,7 +390,8 @@ def train_task(
                 pending = []
                 if _is_main():
                     cdir = os.path.join(output_dir, f"checkpoint-{global_step}")
-                    ckpt.save_pipeline(cdir, {"unet": state.params}, spec.model_config)
+                    ckpt.save_pipeline(cdir, {"unet": state.params},
+                                       spec.model_config, fetcher=exporter.fetch)
                     logger.info("saved step checkpoint %s", cdir)
         losses.extend(float(v) for v in jax.device_get(pending))
         train_loss = float(np.mean(losses)) if losses else float("nan")
@@ -419,7 +426,7 @@ def train_task(
                 ckpt.save_pipeline(
                     os.path.join(output_dir, "best"), current, spec.model_config,
                     extra_meta={"val_psnr": best_psnr, "epoch": epoch + 1},
-                    skip_existing=skip,
+                    skip_existing=skip, fetcher=exporter.fetch,
                 )
                 frozen_synced = True
                 logger.info("new best (psnr %.3f) -> %s/best", best_psnr, output_dir)
@@ -428,6 +435,7 @@ def train_task(
             ckpt.save_pipeline(
                 os.path.join(output_dir, f"checkpoint-epoch-{epoch+1}"),
                 {"unet": state.params}, spec.model_config,
+                fetcher=exporter.fetch,
             )
         # orbax coordinates multi-host itself: every process participates.
         # Cadence: every state_save_epochs epochs + always the final epoch
@@ -442,12 +450,13 @@ def train_task(
                 and (epoch + 1 - start_epoch) % cfg.state_save_epochs == 0
             )
         ):
-            train_ckpt.save(global_step, state, wait=is_last)
+            train_ckpt.save(global_step, state, wait=is_last,
+                            checksums=exporter.sums_dict(state))
 
     if _is_main():
         ckpt.save_pipeline(
             os.path.join(output_dir, "final"), {**params, "unet": state.params},
-            spec.model_config,
+            spec.model_config, fetcher=exporter.fetch,
         )
     train_ckpt.wait()
     logger.info("training done in %.1fs; best val psnr %.3f", time.time() - t_start, best_psnr)

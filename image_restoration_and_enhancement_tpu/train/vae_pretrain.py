@@ -200,6 +200,10 @@ def pretrain_vae(
 
     num_steps = max(1, len(train_loader) * cfg.num_epochs)
     tx, step_fn = make_vae_train_step(vae, sf, cfg, num_steps, mesh=mesh)
+    # verified save-time export path, pre-compiled before the first
+    # optimizer step (core/checkpoint.ParamExporter)
+    exporter = ckpt.ParamExporter()
+    exporter.prepare(params)
     opt_state = tx.init(params)
 
     @jax.jit
@@ -263,11 +267,12 @@ def pretrain_vae(
                 os.path.join(output_dir, "best"), {"vae": params}, model_config,
                 extra_meta={"val_psnr": best_psnr, "epoch": epoch + 1,
                             "latent_std": latent_std},
+                fetcher=exporter.fetch,
             )
             logger.info("new best (psnr %.3f) -> %s/best", best_psnr, output_dir)
 
     ckpt.save_pipeline(os.path.join(output_dir, "final"), {"vae": params},
-                       model_config)
+                       model_config, fetcher=exporter.fetch)
     logger.info("VAE pretrain done in %.1fs; best val psnr %.3f",
                 time.time() - t_start, best_psnr)
     return val_metrics

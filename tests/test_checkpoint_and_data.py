@@ -56,6 +56,22 @@ def test_find_latest_checkpoint_semantics(tmp_path):
     assert ckpt.find_latest_checkpoint(root).endswith("best")
 
 
+def test_save_params_non_contiguous(tmp_path):
+    """Regression for the round-5 corruption: arrays fetched from
+    TPU-layout buffers can be non-C-contiguous, and safetensors serializes
+    raw bytes as C-order — save_params must normalize (and its write
+    verification must pass) so the reload is bitwise-faithful."""
+    base = np.arange(3 * 3 * 128 * 3, dtype=np.float32).reshape(3, 3, 3, 128)
+    noncontig = base.transpose(0, 1, 3, 2)  # (3,3,128,3), strides swapped
+    assert not noncontig.flags.c_contiguous
+    path = str(tmp_path / "m" / "model.safetensors")
+    ckpt.save_params({"conv_out": {"kernel": noncontig}}, path)
+    loaded = ckpt.load_params(path)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["conv_out"]["kernel"]), noncontig
+    )
+
+
 def test_fetch_params_verified_identity(monkeypatch):
     """Forced-verify path returns the tree unchanged when fetches are clean."""
     monkeypatch.setenv("IRET_FORCE_VERIFY_FETCH", "1")

@@ -180,8 +180,10 @@ def test_non_main_process_writes_nothing(pair_root, tmp_path, monkeypatch):
 
     monkeypatch.setattr(jax, "process_index", lambda: 1)
     orbax_calls = []
-    monkeypatch.setattr(_ck.TrainCheckpointer, "save",
-                        lambda self, step, state, wait=False: orbax_calls.append(step))
+    monkeypatch.setattr(
+        _ck.TrainCheckpointer, "save",
+        lambda self, step, state, wait=False, checksums=None:
+            orbax_calls.append(step))
     out_dir = str(tmp_path / "out_worker")
     cfg = TrainConfig(
         num_epochs=1, batch_size=2, gradient_accumulation_steps=1,

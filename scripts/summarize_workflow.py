@@ -143,9 +143,24 @@ def summarize(art_root: str, models_root: str, eval_json: str) -> str:
             ev = json.load(f)
         lines.append("")
         lines.append("Test-split evaluation (evaluate_model.py):")
-        lines.append("```json")
-        lines.append(json.dumps(ev, indent=2)[:2000])
-        lines.append("```")
+        lines.append("")
+        lines.append("| task | n | PSNR | SSIM | input PSNR | paired ΔPSNR "
+                     "(output−input) | 95% CI | win-rate | beats input? |")
+        lines.append("|---|---|---|---|---|---|---|---|---|")
+        for task, res in ev.items():
+            m = res.get("metrics", {})
+            ib = res.get("input_baseline", {})
+            pd = res.get("paired_delta", {}).get("psnr")
+            lines.append(
+                f"| {task} | {res.get('num_images', '')} "
+                f"| {m.get('psnr', {}).get('mean', float('nan')):.2f} "
+                f"| {m.get('ssim', {}).get('mean', float('nan')):.3f} "
+                f"| {ib.get('psnr', {}).get('mean', float('nan')):.2f} "
+                + (f"| {pd['mean']:+.3f} | [{pd['ci95'][0]:+.3f}, "
+                   f"{pd['ci95'][1]:+.3f}] | {pd['win_rate']:.2f} "
+                   if pd else "| | | ")
+                + f"| {'**yes**' if res.get('beats_input_baseline') else 'no'} |"
+            )
     return "\n".join(lines)
 
 

@@ -1,0 +1,168 @@
+#!/bin/bash
+# Round-5 post-reset recovery chain. The VM reset between the round-5
+# sessions wiped outputs/ and /tmp (checkpoints + compile cache), killing
+# run_round5b.sh before any wide gate or bench point landed. This chain
+# rebuilds the MINIMUM state needed to settle VERDICT r4 #2 on the
+# committed hard-family data (data/pairs_hard, data/vae_mixed_hard):
+#   1. verified mixed VAE (2 epochs, probe-gated) + 860M UNet (3 epochs)
+#   2. wide tome(0.5) gates, n=32 @512px: production point (s=0.05,
+#      1-step programs, cheap compiles) then the full 20-step serving
+#      default (s=0.5, the r4 gate config at 8x the sample count)
+#   3. bench points: tome05 (default-candidate; also prewarms the compile
+#      cache for the driver's end-of-round bench.py), then second-tier
+#      XLA flag points (VERDICT r4 #6).
+# Idempotent + deadline-aware like run_round5b.sh; strictly serial TPU.
+set -u
+LOG=${LOG:-/tmp/round5c.log}
+OUT=${OUT:-/tmp/ab_results_r5c.txt}
+GITLOCK=/tmp/git_workflow.lock
+DEADLINE_TS=${DEADLINE_TS:?set DEADLINE_TS (unix seconds)}
+cd "$(dirname "$0")/.."
+ARTROOT=docs/artifacts
+mkdir -p "$ARTROOT/realrun_hard_r5"
+
+left() { echo $(( DEADLINE_TS - $(date +%s) )); }
+
+commit_artifacts() {
+  cp "$OUT" "$ARTROOT/perf_r5_bench_points.txt" 2>/dev/null
+  cp "$LOG" "$ARTROOT/realrun_hard_r5/round5c_chain.log" 2>/dev/null
+  for g in /tmp/r5_gate_*.txt; do
+    [ -f "$g" ] && cp "$g" "$ARTROOT/" 2>/dev/null
+  done
+  for c in /tmp/probe_vae_r5c.json outputs/models_hard_r5c/denoising/metrics_denoise.csv; do
+    [ -f "$c" ] && cp "$c" "$ARTROOT/realrun_hard_r5/" 2>/dev/null
+  done
+  (
+    flock -w 120 9 || exit 0
+    git add -A "$ARTROOT" >/dev/null 2>&1
+    git commit -q -m "$1" -- "$ARTROOT" >/dev/null 2>&1 || true
+  ) 9>"$GITLOCK"
+}
+
+run_item() {
+  local label="$1" need="$2" cap="$3"; shift 3
+  local rem; rem=$(left)
+  if [ "$rem" -lt "$need" ]; then
+    echo "--- skip $label: ${rem}s left (< ${need}s)" >> "$LOG"; return 1
+  fi
+  echo "--- $label start (5c) $(date) (left ${rem}s)" >> "$LOG"
+  timeout $(( rem < cap ? rem : cap )) "$@" >> "$LOG" 2>&1
+  local rc=$?
+  echo "--- $label exit=$rc (5c) $(date)" >> "$LOG"
+  return $rc
+}
+
+gate() {
+  local tag="$1" need="$2" cap="$3"; shift 3
+  if grep -q "tome" "/tmp/r5_gate_$tag.txt" 2>/dev/null; then
+    echo "--- gate $tag already has a tome row, skipping (5c)" >> "$LOG"; return
+  fi
+  run_item gate_$tag "$need" "$cap" sh -c \
+    "python -u scripts/eval_quant_quality.py $* 2>&1 | tee /tmp/r5_gate_$tag.txt"
+}
+
+bench_item() {
+  local label="$1" need="$2"; shift 2
+  local rem; rem=$(left)
+  if [ "$rem" -lt "$need" ]; then
+    echo "--- skip bench $label: ${rem}s left" >> "$OUT"; return
+  fi
+  if grep -q "^--- $label exit=0" "$OUT" 2>/dev/null; then
+    echo "--- $label already measured, skipping" >> "$OUT"; return
+  fi
+  if ! grep -q "^--- prewarm_$label done" "$OUT" 2>/dev/null; then
+    echo "--- prewarm_$label start $(date)" >> "$OUT"
+    env "$@" BENCH_ITERS=1 timeout $(( rem < 2700 ? rem : 2700 )) \
+      python bench.py >/dev/null 2>"/tmp/r5_${label}_warm.err" \
+      && echo "--- prewarm_$label done $(date)" >> "$OUT" \
+      || echo "--- prewarm_$label FAILED rc=$? $(date)" >> "$OUT"
+    rem=$(left)
+    [ "$rem" -lt "$need" ] && { echo "--- skip bench $label post-warm" >> "$OUT"; return; }
+  fi
+  echo "--- $label start $(date)" >> "$OUT"
+  env "$@" timeout $(( rem < 1800 ? rem : 1800 )) python bench.py \
+    2>"/tmp/r5_${label}.err" | tail -1 >> "$OUT"
+  echo "--- $label exit=${PIPESTATUS[0]} $(date)" >> "$OUT"
+}
+
+echo "=== round5c recovery start $(date), deadline in $(left)s ===" >> "$LOG"
+
+# ---- S0: relay responsive?
+for i in 1 2 3; do
+  if timeout 300 python -c "
+import jax, jax.numpy as jnp
+jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
+x = jnp.ones((256, 256))
+print('probe ok', float(jnp.mean(x @ x)))" >> "$LOG" 2>&1; then break; fi
+  echo "--- relay probe $i failed $(date)" >> "$LOG"; sleep 120
+done
+
+VAE=outputs/models_hard/vae_mixed_v2
+# ---- S1: minimal verified VAE (mixed clean+noisy hard family).
+#      Epoch 1 of the r5 12-epoch run already hit 21.8 dB val; 2 epochs
+#      at 2000 samples is enough for a meaningful gt scale on the gates.
+if [ ! -f "$VAE/best/model_index.json" ]; then
+  run_item vae_quick 1500 2700 python scripts/pretrain_vae.py \
+    --data_root data/vae_mixed_hard --num_epochs 2 --max_train_samples 2000 \
+    --max_val_samples 64 --output_dir "$VAE"
+fi
+if [ -f "$VAE/best/model_index.json" ]; then
+  run_item probe_vae_r5c 240 1500 sh -c \
+    "python scripts/probe_vae_roundtrip.py --checkpoint '$VAE/best' \
+       --pairs data/pairs_hard/denoise/val --n 8 | tail -1 > /tmp/probe_vae_r5c.json"
+  echo "--- probe: $(cat /tmp/probe_vae_r5c.json 2>/dev/null)" >> "$LOG"
+fi
+commit_artifacts "round5c: quick verified VAE rebuild (post-reset)"
+
+# ---- S2: short 860M UNet on the committed hard pairs (fresh checkpoint
+#      for the wide gates; r4's gates also used a fresh checkpoint).
+UNET=outputs/models_hard_r5c/denoising
+if [ -f "$VAE/best/model_index.json" ] && [ ! -f "$UNET/best/model_index.json" ]; then
+  run_item unet_quick 1800 3300 python scripts/train_denoising.py \
+    --data_root data/pairs_hard --output_dir "$UNET" \
+    --vae_init "$VAE/best" --num_epochs 3 --batch_size 8 \
+    --gradient_accumulation_steps 1 --optimizer adafactor \
+    --save_steps -1 --state_save_epochs 99
+fi
+commit_artifacts "round5c: fresh 860M denoise checkpoint (3 ep, verified saves)"
+
+# ---- S3: wide gates, n=32 @512px, batch 8 (VERDICT r4 #2).
+if [ -f "$UNET/best/model_index.json" ]; then
+  # production restoration point first: strength 0.05 -> 1-step programs,
+  # cheap compiles, quick committed result
+  gate prod_s005 600 2400 "--checkpoint $UNET/best \
+    --pairs data/pairs_hard/denoise/val --size 512 --n 32 --batch 8 \
+    --strength 0.05 --modes int8_static --tome 0.5"
+  commit_artifacts "round5c: wide tome gate at production point (s=0.05, n=32)"
+  # the full 20-step serving-default gate (r4 config at n=32)
+  gate wide_s05 1500 7200 "--checkpoint $UNET/best \
+    --pairs data/pairs_hard/denoise/val --size 512 --n 32 --batch 8 \
+    --modes int8_static --tome 0.5"
+  commit_artifacts "round5c: wide tome gate at serving default (s=0.5, n=32)"
+  # turbo k=2 + combo rows on the warm cache (tome/bf16/calib reused)
+  gate wide_s05_k2 1200 4500 "--checkpoint $UNET/best \
+    --pairs data/pairs_hard/denoise/val --size 512 --n 32 --batch 8 \
+    --modes '' --cfg_cache 2 --tome 0.5"
+  commit_artifacts "round5c: wide turbo/combo gate (k=2, n=32)"
+fi
+
+# ---- S4: bench points. tome05 first: it is the default-candidate AND
+#      prewarms the driver's end-of-round bench compile if promoted.
+bench_item tome05 700 BENCH_TOME=0.5
+commit_artifacts "round5c: tome05 bench point"
+bench_item exact_ctl 700
+bench_item tome05_k2 700 BENCH_TOME=0.5 BENCH_CFG_CACHE=2
+bench_item autotune 700 BENCH_XLA_OPTS=xla_tpu_autotune_dots=true
+bench_item aggrfuse 700 \
+  BENCH_XLA_OPTS=xla_tpu_enable_aggressive_loop_fusion_layout_opt=true
+bench_item turbo_k3 700 BENCH_CFG_CACHE=3
+commit_artifacts "round5c: bench points"
+
+# ---- S5: k=3 fresh gate (VERDICT r4 #6 leftover), warm cache
+if [ -f "$UNET/best/model_index.json" ]; then
+  gate k3 900 3000 "--checkpoint $UNET/best \
+    --pairs data/pairs_hard/denoise/val --size 512 --n 8 --batch 8 \
+    --modes '' --cfg_cache 3"
+fi
+commit_artifacts "round5c: final recovery artifacts"
+echo "=== round5c recovery done $(date) ===" >> "$LOG"

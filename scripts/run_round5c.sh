@@ -97,6 +97,15 @@ print('probe ok', float(jnp.mean(x @ x)))" >> "$LOG" 2>&1; then break; fi
   echo "--- relay probe $i failed $(date)" >> "$LOG"; sleep 120
 done
 
+# ---- S0b: data self-heal. data/vae_mixed_hard is committed as SYMLINKS;
+#      its clean half points into the regenerable (untracked) data/clean,
+#      which a VM reset wipes. The generator is seeded/deterministic, so
+#      regenerating restores the exact original targets.
+if [ ! -e "$(readlink -f data/vae_mixed_hard/train/c_train_000000.jpg)" ]; then
+  run_item datagen_clean 120 1200 python scripts/make_procedural_clean.py \
+    --out_root data/clean
+fi
+
 VAE=outputs/models_hard/vae_mixed_v2
 # ---- S1: minimal verified VAE (mixed clean+noisy hard family).
 #      Epoch 1 of the r5 12-epoch run already hit 21.8 dB val; 2 epochs

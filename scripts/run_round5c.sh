@@ -111,8 +111,11 @@ VAE=outputs/models_hard/vae_mixed_v2
 #      Epoch 1 of the r5 12-epoch run already hit 21.8 dB val; 2 epochs
 #      at 2000 samples is enough for a meaningful gt scale on the gates.
 if [ ! -f "$VAE/best/model_index.json" ]; then
-  run_item vae_quick 1500 2700 python scripts/pretrain_vae.py \
-    --data_root data/vae_mixed_hard --num_epochs 2 --max_train_samples 2000 \
+  # 1 epoch: epoch 1 of the r5 12-epoch run already hit 21.8 dB val —
+  # enough gt scale for the gates, and every minute saved here buys
+  # compile time for the wide gate at the chain tail.
+  run_item vae_quick 1200 2700 python scripts/pretrain_vae.py \
+    --data_root data/vae_mixed_hard --num_epochs 1 --max_train_samples 2000 \
     --max_val_samples 64 --output_dir "$VAE"
 fi
 if [ -f "$VAE/best/model_index.json" ]; then
@@ -127,29 +130,37 @@ commit_artifacts "round5c: quick verified VAE rebuild (post-reset)"
 #      for the wide gates; r4's gates also used a fresh checkpoint).
 UNET=outputs/models_hard_r5c/denoising
 if [ -f "$VAE/best/model_index.json" ] && [ ! -f "$UNET/best/model_index.json" ]; then
-  run_item unet_quick 1800 3300 python scripts/train_denoising.py \
+  run_item unet_quick 1500 2700 python scripts/train_denoising.py \
     --data_root data/pairs_hard --output_dir "$UNET" \
-    --vae_init "$VAE/best" --num_epochs 3 --batch_size 8 \
+    --vae_init "$VAE/best" --num_epochs 2 --batch_size 8 \
     --gradient_accumulation_steps 1 --optimizer adafactor \
     --save_steps -1 --state_save_epochs 99
 fi
 commit_artifacts "round5c: fresh 860M denoise checkpoint (3 ep, verified saves)"
 
-# ---- S3: wide gates, n=32 @512px, batch 8 (VERDICT r4 #2).
+# ---- S3: wide gates, n=32 @512px, batch 8 (VERDICT r4 #2). Compile
+#      time dominates (each mode is a fresh multi-minute remote compile;
+#      trip count barely matters), so the serving-default gate runs FIRST
+#      with the minimal row set — calib + bf16 + tome(0.5), where the
+#      tome row (int8_static base) is exactly the BENCH_TOME=0.5
+#      default-candidate config.
 if [ -f "$UNET/best/model_index.json" ]; then
-  # production restoration point first: strength 0.05 -> 1-step programs,
-  # cheap compiles, quick committed result
-  gate prod_s005 600 2400 "--checkpoint $UNET/best \
+  gate wide_s05 1200 7200 "--checkpoint $UNET/best \
     --pairs data/pairs_hard/denoise/val --size 512 --n 32 --batch 8 \
-    --strength 0.05 --modes int8_static --tome 0.5"
+    --modes '' --tome 0.5"
+  commit_artifacts "round5c: wide tome gate at serving default (s=0.5, n=32)"
+  # second strength: the production restoration point (s=0.05, 1-step)
+  gate prod_s005 900 3600 "--checkpoint $UNET/best \
+    --pairs data/pairs_hard/denoise/val --size 512 --n 32 --batch 8 \
+    --strength 0.05 --modes '' --tome 0.5"
   commit_artifacts "round5c: wide tome gate at production point (s=0.05, n=32)"
-  # the full 20-step serving-default gate (r4 config at n=32)
-  gate wide_s05 1500 7200 "--checkpoint $UNET/best \
+  # pure int8_static row (warm calib) — the current bench default's gate
+  gate wide_s05_int8 900 3600 "--checkpoint $UNET/best \
     --pairs data/pairs_hard/denoise/val --size 512 --n 32 --batch 8 \
     --modes int8_static --tome 0.5"
-  commit_artifacts "round5c: wide tome gate at serving default (s=0.5, n=32)"
+  commit_artifacts "round5c: wide int8_static gate (n=32)"
   # turbo k=2 + combo rows on the warm cache (tome/bf16/calib reused)
-  gate wide_s05_k2 1200 4500 "--checkpoint $UNET/best \
+  gate wide_s05_k2 900 3600 "--checkpoint $UNET/best \
     --pairs data/pairs_hard/denoise/val --size 512 --n 32 --batch 8 \
     --modes '' --cfg_cache 2 --tome 0.5"
   commit_artifacts "round5c: wide turbo/combo gate (k=2, n=32)"
